@@ -1,0 +1,233 @@
+"""Decoding: probabilities → entity spans and relations.
+
+Pure numpy/Python re-implementation of the reference decoders with
+identical decision semantics:
+
+- overlap predicates      → gliner/decoding/utils.py:1-19
+- greedy overlap search   → gliner/decoding/decoder.py:74-116
+- span decode (L,K,C)     → decoder.py:127-157, 222-293, 295-355
+- token decode (W,C,3)    → decoder.py:961-1028 (min-score rule :1021)
+- relation decode         → decoder.py:743-843 (index-alignment quirk :822)
+
+Parity-critical details preserved:
+* candidate generation order is the row-major scan order of
+  ``torch.where(probs > threshold)`` (decoder.py:271);
+* greedy sort is a stable sort on ``-score`` (decoder.py:99), so ties
+  break in candidate order; final output is stably re-sorted by start
+  (decoder.py:115);
+* span validity is ``start + width + 1 <= len(tokens)``
+  (decoder.py:144-157);
+* relation head/tail indices are validated against the POST-greedy span
+  list even though they were produced pre-greedy (decoder.py:822) — this
+  index-alignment quirk shapes which triples survive and is ported
+  verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Span:
+    """Detected entity span. Mirrors decoder.py:11-28 (word-level, end inclusive)."""
+
+    start: int
+    end: int
+    entity_type: str
+    score: float
+    class_probs: Optional[Dict[str, float]] = None
+
+
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def is_nested(idx1, idx2) -> bool:
+    """True if one span contains the other (decoding/utils.py:1-3)."""
+    return (idx1[0] <= idx2[0] and idx1[1] >= idx2[1]) or (
+        idx2[0] <= idx1[0] and idx2[1] >= idx1[1]
+    )
+
+
+def has_overlapping(idx1, idx2, multi_label: bool = False) -> bool:
+    """Any-overlap predicate for flat NER (decoding/utils.py:6-11)."""
+    if idx1[:2] == idx2[:2]:
+        return not multi_label
+    return not (idx1[0] > idx2[1] or idx2[0] > idx1[1])
+
+
+def has_overlapping_nested(idx1, idx2, multi_label: bool = False) -> bool:
+    """Overlap-but-not-nested predicate for nested NER (utils.py:14-19)."""
+    if idx1[:2] == idx2[:2]:
+        return not multi_label
+    return not ((idx1[0] > idx2[1] or idx2[0] > idx1[1]) or is_nested(idx1, idx2))
+
+
+def greedy_search(
+    spans: List[Span], flat_ner: bool = True, multi_label: bool = False
+) -> List[Span]:
+    """Greedy overlap resolution (decoder.py:74-116).
+
+    Stable sort by score desc; keep a span iff it doesn't overlap any
+    already-kept span; stably re-sort kept spans by start.
+    """
+    overlap = has_overlapping if flat_ner else has_overlapping_nested
+
+    kept: List[Span] = []
+    for span in sorted(spans, key=lambda x: -x.score):
+        tup = (span.start, span.end, span.entity_type)
+        if not any(
+            overlap(tup, (k.start, k.end, k.entity_type), multi_label=multi_label)
+            for k in kept
+        ):
+            kept.append(span)
+    return sorted(kept, key=lambda x: x.start)
+
+
+def _top_k_class_probs(
+    probs_c: np.ndarray, id_to_class: Dict[int, str], k: int = 5
+) -> Dict[str, float]:
+    """Top-k class probabilities for one span (decoder.py:159-188)."""
+    k = min(k, probs_c.shape[0])
+    top = np.argsort(-probs_c, kind="stable")[:k]
+    return {
+        id_to_class.get(int(i) + 1, f"class_{int(i)}"): float(probs_c[i]) for i in top
+    }
+
+
+def decode_span_probs(
+    probs: np.ndarray,
+    tokens: Sequence[str],
+    id_to_class: Dict[int, str],
+    threshold: float = 0.5,
+    flat_ner: bool = True,
+    multi_label: bool = False,
+    return_class_probs: bool = False,
+    input_spans: Optional[List[Tuple[int, int]]] = None,
+) -> List[Span]:
+    """Decode one sample's (L, K, C) probability tensor into spans.
+
+    Mirrors ``_decode_batch_item`` (decoder.py:222-293). ``probs`` must
+    already be sigmoided. Candidate order = np.argwhere row-major order,
+    identical to torch.where's.
+    """
+    L, K, _C = probs.shape
+
+    if input_spans is not None:
+        mask = np.zeros((L, K), dtype=bool)
+        for ws, we in input_spans:
+            width = we - ws
+            if 0 <= width < K and 0 <= ws < L:
+                mask[ws, width] = True
+        probs = probs * mask[:, :, None]
+
+    n_tokens = len(tokens)
+    out: List[Span] = []
+    for s, k, c in np.argwhere(probs > threshold):
+        if s + k + 1 > n_tokens:  # _is_valid_span, decoder.py:144-157
+            continue
+        score = float(probs[s, k, c])
+        cp = (
+            _top_k_class_probs(probs[s, k, :], id_to_class) if return_class_probs else None
+        )
+        out.append(
+            Span(
+                start=int(s),
+                end=int(s + k),
+                entity_type=id_to_class[int(c) + 1],
+                score=score,
+                class_probs=cp,
+            )
+        )
+    return greedy_search(out, flat_ner, multi_label=multi_label)
+
+
+def decode_token_scores(
+    start_scores: np.ndarray,
+    end_scores: np.ndarray,
+    inside_scores: np.ndarray,
+    id_to_class: Dict[int, str],
+    threshold: float = 0.5,
+    flat_ner: bool = True,
+    multi_label: bool = False,
+    input_spans: Optional[List[Tuple[int, int]]] = None,
+) -> List[Span]:
+    """Token-mode decode for one sample: (W, C) start/end/inside probs.
+
+    Mirrors TokenDecoder._calculate_span_score (decoder.py:975-1028):
+    match same-class (start, end) pairs with end >= start; require every
+    inside score within the span > threshold; span score = min(inside ∪
+    {start_score, end_score}) (decoder.py:1021). Inputs are probabilities
+    (already sigmoided), matching _get_indices_above_threshold
+    (decoder.py:961-973).
+    """
+    spans: List[Span] = []
+    input_set = set(input_spans) if input_spans is not None else None
+    start_idx = np.argwhere(start_scores > threshold)
+    end_idx = np.argwhere(end_scores > threshold)
+    for st, cls_st in start_idx:
+        for ed, cls_ed in end_idx:
+            if ed >= st and cls_st == cls_ed:
+                if input_set is not None and (int(st), int(ed)) not in input_set:
+                    continue
+                ins = inside_scores[st : ed + 1, cls_st]
+                if (ins < threshold).any():
+                    continue
+                score = float(
+                    min(ins.min(), start_scores[st, cls_st], end_scores[ed, cls_ed])
+                )
+                spans.append(
+                    Span(
+                        start=int(st),
+                        end=int(ed),
+                        entity_type=id_to_class[int(cls_st) + 1],
+                        score=score,
+                    )
+                )
+    return greedy_search(spans, flat_ner, multi_label=multi_label)
+
+
+def decode_relations(
+    spans: List[Span],
+    rel_idx: Optional[np.ndarray],
+    rel_probs: Optional[np.ndarray],
+    rel_mask: Optional[np.ndarray],
+    rel_id_to_class: Dict[int, str],
+    threshold: float = 0.5,
+) -> List[Tuple[int, str, int, float]]:
+    """Decode one sample's relations (decoder.py:743-843).
+
+    ``spans`` is the POST-greedy entity list; ``rel_idx`` (N, 2) holds
+    head/tail indices produced PRE-greedy from the packed confident-span
+    list — out-of-range indices are skipped (decoder.py:822), exactly as
+    the reference does. ``rel_probs`` (N, C_rel) must be sigmoided.
+    Emits (head_idx, rel_label, tail_idx, score) tuples in scan order.
+    """
+    relations: List[Tuple[int, str, int, float]] = []
+    if rel_idx is None or rel_probs is None or len(rel_idx) == 0:
+        return relations
+    if rel_mask is None:
+        rel_mask = np.ones(len(rel_idx), dtype=bool)
+
+    n_spans = len(spans)
+    for j in range(len(rel_idx)):
+        if not rel_mask[j]:
+            continue
+        head_idx = int(rel_idx[j, 0])
+        tail_idx = int(rel_idx[j, 1])
+        if head_idx < 0 or tail_idx < 0:
+            continue
+        if head_idx >= n_spans or tail_idx >= n_spans:
+            continue  # pruned by greedy — semi-join against kept entities
+        for c in range(rel_probs.shape[1]):
+            prob = float(rel_probs[j, c])
+            if prob <= threshold:
+                continue
+            if (c + 1) not in rel_id_to_class:
+                continue
+            relations.append((head_idx, rel_id_to_class[c + 1], tail_idx, prob))
+    return relations

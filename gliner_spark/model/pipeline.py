@@ -1,0 +1,204 @@
+"""End-to-end inference pipeline (per-document kernel).
+
+This is the body that runs inside every Arrow batch on executors — the
+direct analog of the reference's ``inference`` flow
+(gliner/model.py:1384-1491) and the relex flow
+(gliner/model.py:2404-2613):
+
+  filter valid text → word tokenize (+offset maps) → truncate to max_len
+  → [prompt construction] → span enumeration → span×label scoring →
+  sigmoid+threshold → greedy overlap resolution → char mapping
+  → (relex: confident-span selection → adjacency → pair scoring →
+     relation decode with the index-alignment quirk)
+
+Pure Python/numpy — no Spark imports — so the identical code path is
+unit-testable off-cluster and callable from ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..kernel.tokenization import tokenize_with_offsets
+from ..kernel.spans import make_mapping, span_idx_array
+from ..kernel.prompts import build_entity_prompt, build_relex_prompt
+from ..kernel.decoding import (
+    Span,
+    decode_relations,
+    decode_span_probs,
+    sigmoid,
+)
+from ..kernel.charmap import format_relations, map_spans_to_char
+from .encoder import DeterministicEncoder, get_encoder
+
+
+@dataclass
+class PipelineConfig:
+    """Knobs pinned to the reference defaults (gliner/config.py:17,27,28)."""
+
+    max_width: int = 12
+    max_len: int = 384
+    threshold: float = 0.5
+    flat_ner: bool = True
+    multi_label: bool = False
+    adjacency_threshold: Optional[float] = None  # defaults to threshold (model.py:2457-2461)
+    relation_threshold: Optional[float] = None
+    dim: int = 64
+    seed: int = 42
+
+
+class GLiNERPipeline:
+    """Zero-shot span NER + joint relation extraction over raw strings."""
+
+    def __init__(
+        self,
+        labels: Sequence[str],
+        relations: Sequence[str] = (),
+        config: Optional[PipelineConfig] = None,
+        encoder: Optional[DeterministicEncoder] = None,
+    ):
+        self.config = config or PipelineConfig()
+        self.encoder = encoder or get_encoder(self.config.dim, self.config.seed)
+        # Order-preserving de-dup + 1-indexed maps (utils.py:182-212).
+        self.labels = list(dict.fromkeys(labels))
+        self.relations = list(dict.fromkeys(relations))
+        _, self.id_to_class = make_mapping(self.labels)
+        _, self.rel_id_to_class = make_mapping(self.relations)
+        # Bi-encoder style precompute: label embeddings once per job
+        # (gliner/model.py:1627-1656). In Spark these live inside the
+        # broadcast pipeline object.
+        self.label_embs = self.encoder.embed_labels(self.labels)
+        self.rel_embs = (
+            self.encoder.embed_labels(self.relations) if self.relations else None
+        )
+
+    # ------------------------------------------------------------------
+    def _prepare(self, text: str, lang: str):
+        """Tokenize, truncate, build offset maps (model.py:1181-1208 +
+        truncation processor.py:489-493)."""
+        tokens, starts, ends = tokenize_with_offsets(text, lang)
+        if len(tokens) > self.config.max_len:
+            tokens = tokens[: self.config.max_len]
+            starts = starts[: self.config.max_len]
+            ends = ends[: self.config.max_len]
+        return tokens, starts, ends
+
+    def _score_spans(self, tokens: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Enumerate spans and score them against label embeddings.
+
+        Returns (probs (L,K,C), span_reps (L*K, D)). The prompt tokens
+        <<ENT>>/<<SEP>> are constructed (for structural parity with
+        processor.py:179-197) but the deterministic encoder consumes the
+        precomputed label embeddings directly — the bi-encoder dataflow.
+        """
+        L = len(tokens)
+        K = self.config.max_width
+        # Structural parity: the prompt exists on the real-model path.
+        _prompted, _plen = build_entity_prompt(tokens, self.labels)
+        sidx = span_idx_array(L, K)
+        token_embs = self.encoder.embed_tokens(tokens)
+        span_reps = self.encoder.span_representations(token_embs, sidx)
+        logits = self.encoder.score_spans(span_reps, self.label_embs)  # (L*K, C)
+        probs = sigmoid(logits).reshape(L, K, len(self.labels))
+        return probs, span_reps
+
+    # ------------------------------------------------------------------
+    def predict_entities(
+        self, text: str, lang: str = "en", threshold: Optional[float] = None
+    ) -> List[Dict[str, Any]]:
+        """Entities with char offsets for one document (model.py:1493-1520)."""
+        if not isinstance(text, str) or not text.strip():
+            return []  # _filter_valid_texts (model.py:1222-1241)
+        thr = self.config.threshold if threshold is None else threshold
+        tokens, starts, ends = self._prepare(text, lang)
+        if not tokens:
+            return []
+        probs, _ = self._score_spans(tokens)
+        spans = decode_span_probs(
+            probs,
+            tokens,
+            self.id_to_class,
+            threshold=thr,
+            flat_ner=self.config.flat_ner,
+            multi_label=self.config.multi_label,
+        )
+        return map_spans_to_char(spans, text, starts, ends)
+
+    # ------------------------------------------------------------------
+    def predict_triples(
+        self, text: str, lang: str = "en", threshold: Optional[float] = None
+    ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
+        """(entities, relations) for one document.
+
+        Mirrors UniEncoderSpanRelexGLiNER.inference (model.py:2404-2613):
+
+        1. span scoring as in entity mode;
+        2. confident-span selection: flat-index-ordered packed list of
+           valid spans whose max-class prob > threshold
+           (base.py:2051-2074);
+        3. bilinear adjacency over the packed list, sigmoid, then all
+           directed pairs (i,j), i≠j, with prob > adjacency_threshold,
+           in row-major order (modeling/utils.py:209-296);
+        4. pair×relation scoring (base.py:2243-2246);
+        5. entity decode (greedy) + relation decode — head/tail indices
+           from the PRE-greedy packed list validated against the
+           POST-greedy span list (decoder.py:822), ported verbatim.
+        """
+        if not isinstance(text, str) or not text.strip():
+            return [], []
+        cfg = self.config
+        thr = cfg.threshold if threshold is None else threshold
+        adj_thr = cfg.adjacency_threshold if cfg.adjacency_threshold is not None else thr
+        rel_thr = cfg.relation_threshold if cfg.relation_threshold is not None else thr
+
+        tokens, starts, ends = self._prepare(text, lang)
+        if not tokens:
+            return [], []
+        _prompted, _plen = build_relex_prompt(tokens, self.labels, self.relations)
+
+        probs, span_reps = self._score_spans(tokens)
+        L, K, _ = probs.shape
+
+        # --- step 2: confident-span selection (flat index order) ---
+        flat_probs = probs.reshape(L * K, -1)
+        sidx = span_idx_array(L, K)
+        valid = sidx[:, 1] < len(tokens)  # span_mask
+        keep = (flat_probs.max(axis=1) > thr) & valid
+        packed_idx = np.nonzero(keep)[0]  # ascending flat order = packed order
+        packed_reps = span_reps[packed_idx]
+        E = len(packed_idx)
+
+        rel_idx = None
+        rel_probs = None
+        if E >= 2 and self.rel_embs is not None and len(self.rel_embs):
+            # --- step 3: adjacency + directed pairs ---
+            adj = sigmoid(self.encoder.adjacency_logits(packed_reps))
+            rows, cols = np.nonzero(~np.eye(E, dtype=bool))  # row-major (i, j), i != j
+            sel = adj[rows, cols] > adj_thr
+            pairs = np.stack([rows[sel], cols[sel]], axis=1)
+            if len(pairs):
+                # --- step 4: pair×relation scoring ---
+                head = packed_reps[pairs[:, 0]]
+                tail = packed_reps[pairs[:, 1]]
+                rel_logits = self.encoder.pair_relation_logits(head, tail, self.rel_embs)
+                rel_idx = pairs
+                rel_probs = sigmoid(rel_logits)
+
+        # --- step 5: decode ---
+        spans = decode_span_probs(
+            probs,
+            tokens,
+            self.id_to_class,
+            threshold=thr,
+            flat_ner=cfg.flat_ner,
+            multi_label=cfg.multi_label,
+        )
+        rel_tuples = decode_relations(
+            spans, rel_idx, rel_probs, None, self.rel_id_to_class, threshold=rel_thr
+        )
+        entities = map_spans_to_char(spans, text, starts, ends)
+        relations = format_relations(rel_tuples, spans, text, starts, ends)
+        return entities, relations
