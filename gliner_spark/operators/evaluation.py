@@ -1,0 +1,126 @@
+"""Join-based evaluation metrics (the reference's "GROUP BY").
+
+Re-expresses the reference evaluator (gliner/evaluation/evaluator.py:
+33-91 micro P/R/F1, :132-191 NER exact span+label match, :194-279 relex
+5-tuple match; counting logic evaluation/utils.py:12-34) as DataFrame
+joins + aggregates:
+
+  TP  = pred ⋈ gold ON (url, start, end, label)   — inner equi-join
+  FP  = |pred| − TP
+  FN  = |gold| − TP
+  micro P/R/F1 with safe divide.
+
+Both sides are de-duplicated on the match key first, matching the
+reference's set-intersection semantics (evaluation/utils.py:20-28).
+At 100 TB these are standard shuffled equi-joins on compound keys —
+AQE handles skew; gold sides are usually small enough to broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+NER_KEY = ["url", "start", "end", "label"]
+RELEX_KEY = [
+    "url", "pred",
+    "subj_start", "subj_end", "obj_start", "obj_end",
+]
+
+
+def match_counts(
+    pred: DataFrame, gold: DataFrame, key: List[str]
+) -> DataFrame:
+    """One row: n_pred, n_gold, tp (set semantics on ``key``)."""
+    p = pred.select(*key).distinct()
+    g = gold.select(*key).distinct()
+    tp = p.join(g, key, "inner").count()
+    return p.sparkSession.createDataFrame(
+        [(p.count(), g.count(), tp)], "n_pred long, n_gold long, tp long"
+    )
+
+
+def micro_prf(
+    pred: DataFrame, gold: DataFrame, key: Optional[List[str]] = None
+) -> DataFrame:
+    """Micro precision/recall/F1 (evaluator.py:63-66 micro collapse)."""
+    counts = match_counts(pred, gold, key or NER_KEY)
+    return counts.select(
+        "n_pred",
+        "n_gold",
+        "tp",
+        F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold"))
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    ).select(
+        "*",
+        F.when(
+            (F.col("precision") + F.col("recall")) > 0,
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+
+
+def per_label_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per-class P/R/F1 (macro view): groupBy(label) of the same join.
+
+    Distributed version of the per-class branch in compute_prf
+    (evaluator.py:33-60).
+    """
+    p = (
+        pred.select(*NER_KEY).distinct()
+        .groupBy("label").agg(F.count("*").alias("n_pred"))
+    )
+    g = (
+        gold.select(*NER_KEY).distinct()
+        .groupBy("label").agg(F.count("*").alias("n_gold"))
+    )
+    tp = (
+        pred.select(*NER_KEY).distinct()
+        .join(gold.select(*NER_KEY).distinct(), NER_KEY, "inner")
+        .groupBy("label").agg(F.count("*").alias("tp"))
+    )
+    out = (
+        p.join(g, "label", "full")
+        .join(tp, "label", "left")
+        .fillna(0, ["n_pred", "n_gold", "tp"])
+    )
+    return out.select(
+        "label",
+        "n_pred",
+        "n_gold",
+        "tp",
+        F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+        .otherwise(F.lit(0.0)).alias("precision"),
+        F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold"))
+        .otherwise(F.lit(0.0)).alias("recall"),
+    ).select(
+        "*",
+        F.when(
+            (F.col("precision") + F.col("recall")) > 0,
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)).alias("f1"),
+    ).orderBy("label")
+
+
+def relex_micro_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Relex exact-match micro P/R/F1 on the 5-tuple key
+    (rel_label, head span, tail span) + url (evaluator.py:194-279)."""
+    return micro_prf(pred, gold, RELEX_KEY)
+
+
+def docred_string_f1(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """DocRED-style string-set F1 over ``"src <> rel <> tgt"`` strings
+    (gliner/multitask/relation_extraction.py:268-303)."""
+    mk = F.concat_ws(" <> ", F.col("subj_text"), F.col("pred"), F.col("obj_text"))
+    p = pred.select(F.col("url"), mk.alias("triple_str")).distinct()
+    g = gold.select(F.col("url"), mk.alias("triple_str")).distinct()
+    return micro_prf(p, g, ["url", "triple_str"])

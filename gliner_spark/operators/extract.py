@@ -1,0 +1,165 @@
+"""Distributed entity/triple extraction operators.
+
+The whole reference model becomes two Arrow-batched ``mapInPandas``
+operators (SURVEY.md §2.10). Dataflow per executor python worker:
+
+  Arrow batch (url, text, lang)
+    → pipeline singleton (labels broadcast once; mirrors the
+      bi-encoder precompute, gliner/model.py:1627-1656, and the
+      executor-singleton ORT session, model.py:682)
+    → per-doc kernel: tokenize → enumerate spans → score → greedy
+      decode → char map                     (gliner/model.py:1333-1381)
+    → exploded rows (one per entity / per triple)
+
+No per-row Python UDFs; no driver-side collect. Output rows carry the
+source ``url`` so downstream joins (eval, linking) are equi-joins.
+
+Scale notes (100 TB design point):
+* the operator is embarrassingly parallel — zero shuffles by itself;
+  callers add one salted exchange up front (plans.skew) to break
+  domain/language skew, then ``sortWithinPartitions(length(text))`` for
+  length-homogeneous Arrow batches (the cheap 80% of the reference's
+  sequence-packing win, infer_packing.py:164-208);
+* per-batch memory is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` × max_len;
+* label/relation lists ride the closure (tiny), the encoder weights are
+  rebuilt deterministically per worker (hash-seeded) — with the ONNX
+  backend they'd ship via ``spark-submit --files`` + SparkFiles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..model.pipeline import GLiNERPipeline, PipelineConfig
+
+ENTITY_SCHEMA = (
+    "url string, start int, end int, text string, label string, score double"
+)
+TRIPLE_SCHEMA = (
+    "url string, "
+    "subj_start int, subj_end int, subj_text string, subj_label string, "
+    "pred string, "
+    "obj_start int, obj_end int, obj_text string, obj_label string, "
+    "score double"
+)
+
+_PIPELINE_CACHE: dict = {}
+
+
+def _get_pipeline(labels, relations, cfg_kwargs) -> GLiNERPipeline:
+    """Process-level pipeline singleton keyed by (labels, relations, cfg)."""
+    key = (tuple(labels), tuple(relations), tuple(sorted(cfg_kwargs.items())))
+    pipe = _PIPELINE_CACHE.get(key)
+    if pipe is None:
+        pipe = GLiNERPipeline(labels, relations, PipelineConfig(**cfg_kwargs))
+        _PIPELINE_CACHE.clear()  # one live config per worker is enough
+        _PIPELINE_CACHE[key] = pipe
+    return pipe
+
+
+def extract_entities(
+    df: DataFrame,
+    labels: Sequence[str],
+    threshold: float = 0.5,
+    flat_ner: bool = True,
+    multi_label: bool = False,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: Optional[str] = "lang",
+    **cfg_kwargs,
+) -> DataFrame:
+    """pages(url, text[, lang]) → entities(url, start, end, text, label, score).
+
+    One output row per detected entity; char offsets; ``text`` is the
+    byte-identical slice of the source text (the per-row invariant,
+    gliner/model.py:1316-1322).
+    """
+    labels = list(labels)
+    cfg = dict(threshold=threshold, flat_ner=flat_ner, multi_label=multi_label)
+    cfg.update(cfg_kwargs)
+    has_lang = lang_col is not None and lang_col in df.columns
+    cols = [url_col, text_col] + ([lang_col] if has_lang else [])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pipe = _get_pipeline(labels, [], cfg)
+        for pdf in batches:
+            rows: List[tuple] = []
+            langs = pdf[lang_col] if has_lang else ["en"] * len(pdf)
+            for url, text, lang in zip(pdf[url_col], pdf[text_col], langs):
+                for e in pipe.predict_entities(text, lang or "en"):
+                    rows.append(
+                        (url, e["start"], e["end"], e["text"], e["label"], float(e["score"]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "start", "end", "text", "label", "score"]
+            )
+
+    return df.select(*cols).mapInPandas(run, ENTITY_SCHEMA)
+
+
+def extract_triples(
+    df: DataFrame,
+    labels: Sequence[str],
+    relations: Sequence[str],
+    threshold: float = 0.5,
+    adjacency_threshold: Optional[float] = None,
+    relation_threshold: Optional[float] = None,
+    flat_ner: bool = True,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: Optional[str] = "lang",
+    **cfg_kwargs,
+) -> DataFrame:
+    """pages → triples(url, subj_*, pred, obj_*, score).
+
+    The joint relex route (SURVEY.md §3.2): entity scoring → confident-
+    span selection → adjacency → pair scoring → relation decode with
+    the reference's post-greedy index-alignment semantics.
+    """
+    labels = list(labels)
+    relations = list(relations)
+    cfg = dict(
+        threshold=threshold,
+        adjacency_threshold=adjacency_threshold,
+        relation_threshold=relation_threshold,
+        flat_ner=flat_ner,
+    )
+    cfg.update(cfg_kwargs)
+    has_lang = lang_col is not None and lang_col in df.columns
+    cols = [url_col, text_col] + ([lang_col] if has_lang else [])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pipe = _get_pipeline(labels, relations, cfg)
+        for pdf in batches:
+            rows: List[tuple] = []
+            langs = pdf[lang_col] if has_lang else ["en"] * len(pdf)
+            for url, text, lang in zip(pdf[url_col], pdf[text_col], langs):
+                _ents, rels = pipe.predict_triples(text, lang or "en")
+                for r in rels:
+                    h, t = r["head"], r["tail"]
+                    rows.append(
+                        (
+                            url,
+                            h["start"], h["end"], h["text"], h["type"],
+                            r["relation"],
+                            t["start"], t["end"], t["text"], t["type"],
+                            float(r["score"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url",
+                    "subj_start", "subj_end", "subj_text", "subj_label",
+                    "pred",
+                    "obj_start", "obj_end", "obj_text", "obj_label",
+                    "score",
+                ],
+            )
+
+    return df.select(*cols).mapInPandas(run, TRIPLE_SCHEMA)
