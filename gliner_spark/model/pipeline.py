@@ -48,6 +48,9 @@ class PipelineConfig:
     relation_threshold: Optional[float] = None
     dim: int = 64
     seed: int = 42
+    # dependency-lite proximity: a predicate pattern only fires when the
+    # head and tail spans are within this many words of each other.
+    max_pattern_distance: int = 10
 
 
 class GLiNERPipeline:
@@ -59,7 +62,20 @@ class GLiNERPipeline:
         relations: Sequence[str] = (),
         config: Optional[PipelineConfig] = None,
         encoder: Optional[DeterministicEncoder] = None,
+        gazetteer: Optional[Dict[str, str]] = None,
+        patterns: Optional[Sequence[Tuple[str, str, str]]] = None,
     ):
+        """``gazetteer`` maps lowercased surface forms → entity label: any
+        candidate span whose exact text slice matches gets a confident
+        score for that label (a deterministic stand-in for trained span
+        recall; the zero-shot scoring still runs underneath).
+
+        ``patterns`` are dependency-lite predicate patterns
+        (head_label, relation, tail_label): a confident-entity pair
+        whose argmax labels match a pattern gets a confident adjacency
+        and relation score — the pattern-based triple-extraction route
+        the north star names alongside the learned relex head.
+        """
         self.config = config or PipelineConfig()
         self.encoder = encoder or get_encoder(self.config.dim, self.config.seed)
         # Order-preserving de-dup + 1-indexed maps (utils.py:182-212).
@@ -67,6 +83,11 @@ class GLiNERPipeline:
         self.relations = list(dict.fromkeys(relations))
         _, self.id_to_class = make_mapping(self.labels)
         _, self.rel_id_to_class = make_mapping(self.relations)
+        self.gazetteer = {k.lower(): v for k, v in (gazetteer or {}).items()}
+        self.patterns = {
+            (h, r, t) for (h, r, t) in (patterns or []) if r in self.relations
+        }
+        self._label_pos = {lab: i for i, lab in enumerate(self.labels)}
         # Bi-encoder style precompute: label embeddings once per job
         # (gliner/model.py:1627-1656). In Spark these live inside the
         # broadcast pipeline object.
@@ -105,6 +126,39 @@ class GLiNERPipeline:
         probs = sigmoid(logits).reshape(L, K, len(self.labels))
         return probs, span_reps
 
+    def _apply_gazetteer(
+        self,
+        probs: np.ndarray,
+        text: str,
+        starts: Sequence[int],
+        ends: Sequence[int],
+    ) -> np.ndarray:
+        """Boost (span, label) scores for exact gazetteer matches.
+
+        The score is a deterministic function of the surface form (so
+        outputs stay reproducible across processes); matching is done on
+        the char-slice of the original text, preserving the
+        byte-identical-text invariant.
+        """
+        if not self.gazetteer:
+            return probs
+        L, K, _C = probs.shape
+        n = len(starts)
+        for s in range(L):
+            for k in range(K):
+                e = s + k
+                if e >= n:
+                    break
+                surface = text[starts[s]: ends[e]].lower()
+                label = self.gazetteer.get(surface)
+                if label is not None:
+                    pos = self._label_pos.get(label)
+                    if pos is not None:
+                        # deterministic high score in [0.90, 0.99]
+                        h = sum(surface.encode("utf-8")) % 90
+                        probs[s, k, pos] = 0.90 + h / 1000.0
+        return probs
+
     # ------------------------------------------------------------------
     def predict_entities(
         self, text: str, lang: str = "en", threshold: Optional[float] = None
@@ -117,6 +171,7 @@ class GLiNERPipeline:
         if not tokens:
             return []
         probs, _ = self._score_spans(tokens)
+        probs = self._apply_gazetteer(probs, text, starts, ends)
         spans = decode_span_probs(
             probs,
             tokens,
@@ -160,6 +215,7 @@ class GLiNERPipeline:
         _prompted, _plen = build_relex_prompt(tokens, self.labels, self.relations)
 
         probs, span_reps = self._score_spans(tokens)
+        probs = self._apply_gazetteer(probs, text, starts, ends)
         L, K, _ = probs.shape
 
         # --- step 2: confident-span selection (flat index order) ---
@@ -174,8 +230,32 @@ class GLiNERPipeline:
         rel_idx = None
         rel_probs = None
         if E >= 2 and self.rel_embs is not None and len(self.rel_embs):
+            # argmax entity label per packed span (for predicate patterns)
+            packed_labels = [
+                self.labels[int(c)] for c in flat_probs[packed_idx].argmax(axis=1)
+            ]
             # --- step 3: adjacency + directed pairs ---
             adj = sigmoid(self.encoder.adjacency_logits(packed_reps))
+            packed_spans = sidx[packed_idx]  # (E, 2) word positions
+            if self.patterns:
+                # dependency-lite predicate patterns: a typed pair that
+                # matches any (head_label, *, tail_label) pattern AND sits
+                # within max_pattern_distance words is a confident
+                # adjacency candidate.
+                typed_pairs = {(h, t) for (h, _r, t) in self.patterns}
+                maxd = self.config.max_pattern_distance
+                for i in range(E):
+                    for j in range(E):
+                        if i == j:
+                            continue
+                        if (packed_labels[i], packed_labels[j]) not in typed_pairs:
+                            continue
+                        gap = max(
+                            packed_spans[j, 0] - packed_spans[i, 1],
+                            packed_spans[i, 0] - packed_spans[j, 1],
+                        )
+                        if gap <= maxd:
+                            adj[i, j] = max(adj[i, j], 0.95)
             rows, cols = np.nonzero(~np.eye(E, dtype=bool))  # row-major (i, j), i != j
             sel = adj[rows, cols] > adj_thr
             pairs = np.stack([rows[sel], cols[sel]], axis=1)
@@ -186,6 +266,18 @@ class GLiNERPipeline:
                 rel_logits = self.encoder.pair_relation_logits(head, tail, self.rel_embs)
                 rel_idx = pairs
                 rel_probs = sigmoid(rel_logits)
+                if self.patterns:
+                    maxd = self.config.max_pattern_distance
+                    for n, (i, j) in enumerate(pairs):
+                        gap = max(
+                            packed_spans[j, 0] - packed_spans[i, 1],
+                            packed_spans[i, 0] - packed_spans[j, 1],
+                        )
+                        if gap > maxd:
+                            continue
+                        for c, rel in enumerate(self.relations):
+                            if (packed_labels[i], rel, packed_labels[j]) in self.patterns:
+                                rel_probs[n, c] = max(rel_probs[n, c], 0.93)
 
         # --- step 5: decode ---
         spans = decode_span_probs(

@@ -51,12 +51,24 @@ TRIPLE_SCHEMA = (
 _PIPELINE_CACHE: dict = {}
 
 
-def _get_pipeline(labels, relations, cfg_kwargs) -> GLiNERPipeline:
+def _get_pipeline(labels, relations, cfg_kwargs, gazetteer=None, patterns=None) -> GLiNERPipeline:
     """Process-level pipeline singleton keyed by (labels, relations, cfg)."""
-    key = (tuple(labels), tuple(relations), tuple(sorted(cfg_kwargs.items())))
+    key = (
+        tuple(labels),
+        tuple(relations),
+        tuple(sorted(cfg_kwargs.items())),
+        tuple(sorted((gazetteer or {}).items())),
+        tuple(sorted(patterns or [])),
+    )
     pipe = _PIPELINE_CACHE.get(key)
     if pipe is None:
-        pipe = GLiNERPipeline(labels, relations, PipelineConfig(**cfg_kwargs))
+        pipe = GLiNERPipeline(
+            labels,
+            relations,
+            PipelineConfig(**cfg_kwargs),
+            gazetteer=gazetteer,
+            patterns=patterns,
+        )
         _PIPELINE_CACHE.clear()  # one live config per worker is enough
         _PIPELINE_CACHE[key] = pipe
     return pipe
@@ -71,6 +83,7 @@ def extract_entities(
     url_col: str = "url",
     text_col: str = "text",
     lang_col: Optional[str] = "lang",
+    gazetteer: Optional[dict] = None,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages(url, text[, lang]) → entities(url, start, end, text, label, score).
@@ -86,7 +99,7 @@ def extract_entities(
     cols = [url_col, text_col] + ([lang_col] if has_lang else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pipe = _get_pipeline(labels, [], cfg)
+        pipe = _get_pipeline(labels, [], cfg, gazetteer=gazetteer)
         for pdf in batches:
             rows: List[tuple] = []
             langs = pdf[lang_col] if has_lang else ["en"] * len(pdf)
@@ -113,6 +126,8 @@ def extract_triples(
     url_col: str = "url",
     text_col: str = "text",
     lang_col: Optional[str] = "lang",
+    gazetteer: Optional[dict] = None,
+    patterns: Optional[Sequence] = None,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages → triples(url, subj_*, pred, obj_*, score).
@@ -134,7 +149,10 @@ def extract_triples(
     cols = [url_col, text_col] + ([lang_col] if has_lang else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pipe = _get_pipeline(labels, relations, cfg)
+        pipe = _get_pipeline(
+            labels, relations, cfg,
+            gazetteer=gazetteer, patterns=[tuple(p) for p in (patterns or [])],
+        )
         for pdf in batches:
             rows: List[tuple] = []
             langs = pdf[lang_col] if has_lang else ["en"] * len(pdf)
