@@ -26,6 +26,22 @@ import numpy as np
 _U64 = np.float64(2**64)
 
 
+def _mm(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic matrix multiply.
+
+    ``a @ b`` dispatches to BLAS, whose reduction order (and therefore
+    the low bits of every score) depends on the library's thread count —
+    which differs between the Spark driver and executor python workers.
+    Near-threshold spans then flip across processes and greedy overlap
+    resolution (decoder.py:74-116) diverges. ``np.einsum`` with
+    ``optimize=False`` never calls BLAS: fixed-order, single-threaded,
+    bit-exact everywhere. The matrices on this path are small
+    (≤ L·K×2D ≈ 4608×128), so the BLAS loss is irrelevant next to the
+    cross-process-parity requirement (byte-identical output per url).
+    """
+    return np.einsum("ij,jk->ik", a, b, optimize=False)
+
+
 def _hash_seed(*parts: str) -> int:
     """Stable cross-process 64-bit seed from strings (no Python hash())."""
     h = hashlib.blake2b("\x1f".join(parts).encode("utf-8"), digest_size=8)
@@ -116,19 +132,20 @@ class DeterministicEncoder:
         if L == 0:
             return np.zeros((len(span_idx), self.dim))
         cat = np.concatenate([token_embs[starts], token_embs[ends]], axis=1)
-        rep = np.tanh(cat @ self.w_span)
+        rep = np.tanh(_mm(cat, self.w_span))
         norm = np.linalg.norm(rep, axis=1, keepdims=True) + 1e-9
         return rep / norm
 
     def score_spans(self, span_reps: np.ndarray, label_embs: np.ndarray) -> np.ndarray:
         """(S, D) × (C, D) → (S, C) logits; the M6 einsum 'join'."""
-        return (span_reps @ label_embs.T - self.margin) / self.temperature
+        return (_mm(span_reps, label_embs.T) - self.margin) / self.temperature
 
     # ---- relation scoring -------------------------------------------------
 
     def adjacency_logits(self, span_reps: np.ndarray) -> np.ndarray:
         """(E, D) → (E, E) bilinear adjacency logits (relations_layers.py:45-70)."""
-        return (span_reps @ self.w_adj @ span_reps.T - self.margin) / self.temperature
+        proj = _mm(span_reps, self.w_adj)
+        return (_mm(proj, span_reps.T) - self.margin) / self.temperature
 
     def pair_relation_logits(
         self, head_reps: np.ndarray, tail_reps: np.ndarray, rel_embs: np.ndarray
@@ -136,9 +153,9 @@ class DeterministicEncoder:
         """(N, D) pairs × (R, D) relation embeds → (N, R) logits (base.py:2243-2258)."""
         if len(head_reps) == 0:
             return np.zeros((0, len(rel_embs)))
-        pair = np.tanh(np.concatenate([head_reps, tail_reps], axis=1) @ self.w_pair)
+        pair = np.tanh(_mm(np.concatenate([head_reps, tail_reps], axis=1), self.w_pair))
         pair /= np.linalg.norm(pair, axis=1, keepdims=True) + 1e-9
-        return (pair @ rel_embs.T - self.margin) / self.temperature
+        return (_mm(pair, rel_embs.T) - self.margin) / self.temperature
 
 
 class OnnxEncoder:
