@@ -1,0 +1,28 @@
+"""Column-level functions for the training-data pipeline.
+
+Everything here is built from ``pyspark.sql.functions`` primitives —
+JVM-side, whole-stage-codegen-able, no Python UDFs — so filters and
+projections composed from them stay pushdown- and codegen-friendly at
+the 100 TB design point.
+"""
+
+from .text import (  # noqa: F401
+    word_tokens,
+    word_count,
+    regex_token_count,
+    char_count,
+    stopword_count,
+    word_char_sum,
+    quality_columns,
+    lang_scores,
+    lang_id_column,
+    shingles,
+    simhash_column,
+    fingerprint_agg,
+)
+from .vectors import (  # noqa: F401
+    dot_product,
+    l2_norm,
+    cosine_similarity,
+    sign_bucket,
+)

@@ -1,0 +1,236 @@
+"""Text-analysis column functions (language-ID, quality, tokens,
+fingerprints, SimHash).
+
+These are the document-hygiene primitives a web-scale training-data
+pipeline runs before (and after) KG extraction: token accounting,
+quality scoring, n-gram heuristic language ID, and locality-sensitive
+document fingerprints for near-dedup. The reference repo's analogs are
+its corpus converters (data/process_pilener.py:16-48) and word splitter
+(gliner/data_processing/tokenizer.py:40-61); everything beyond that is
+net-new scale tooling.
+
+Design rules (enforced throughout):
+
+* built-in expressions only — JVM-side, codegen-friendly, no UDFs;
+* no floating-point *aggregations* across rows (sum-of-double order is
+  nondeterministic under distributed execution); every float here is a
+  per-row int/int division, which is a single exact IEEE-754 op and
+  reproducible across engines;
+* hashes are ``md5`` hex strings — identical output in Spark, DuckDB,
+  and Python's hashlib, which keeps every operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Default marker vocabularies for the n-gram heuristic language ID.
+# Real deployments plug in per-language frequency tables; the mechanism
+# (count marker hits per language, argmax with fixed-order tie-break)
+# is what matters and is shared with the SQL oracle.
+DEFAULT_LANG_MARKERS: Dict[str, Sequence[str]] = {
+    "en": ("the", "a", "data"),
+    "de": ("batch", "window", "group"),
+    "es": ("query", "table", "row"),
+    "fr": ("column", "value", "key"),
+    "zh": ("hash", "merge", "sort"),
+}
+
+DEFAULT_STOPWORDS: Sequence[str] = ("a", "the")
+
+
+def word_tokens(text: Column) -> Column:
+    """Whitespace word tokens as an array column."""
+    return F.split(text, " ")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(word_tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    r"""Count of ``\w+`` regex tokens (the reference splitter's word
+    class, gliner/data_processing/tokenizer.py:49, minus the compound
+    tail which never fires on space-separated ASCII)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+"), 0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: letter runs, single digits, single
+    non-alnum marks — a cheap deterministic stand-in for a real BPE
+    vocab that tracks its token count closely on web text."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_count(text: Column, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(word_tokens(text), lambda w: F.array_contains(sw, w)))
+
+
+def word_char_sum(text: Column) -> Column:
+    """Total characters inside words (int aggregate over the token
+    array — exact, order-independent)."""
+    return F.aggregate(
+        F.transform(word_tokens(text), F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def quality_columns(
+    text: Column,
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+    min_words: int = 10,
+    max_words: int = 1000,
+    max_stop_ratio: float = 0.5,
+) -> Dict[str, Column]:
+    """Quality-scoring column bundle (length / stopword / word-shape
+    heuristics à la C4/Gopher filtering rules)."""
+    n_words = word_count(text)
+    n_stop = stopword_count(text, stopwords)
+    n_chars = char_count(text)
+    wsum = word_char_sum(text)
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    mean_word_len = wsum.cast("double") / n_words.cast("double")
+    keep = (
+        (n_words >= F.lit(min_words))
+        & (n_words <= F.lit(max_words))
+        & (stop_ratio < F.lit(float(max_stop_ratio)))
+    )
+    return {
+        "n_words": n_words,
+        "n_stop": n_stop,
+        "n_chars": n_chars,
+        "stop_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+        "quality_keep": keep,
+    }
+
+
+def lang_scores(
+    text: Column, markers: Dict[str, Sequence[str]] = DEFAULT_LANG_MARKERS
+) -> Dict[str, Column]:
+    """Per-language marker-hit counts (with multiplicity)."""
+    toks = word_tokens(text)
+    out = {}
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+    return out
+
+
+def lang_id_column(
+    text: Column, markers: Dict[str, Sequence[str]] = DEFAULT_LANG_MARKERS
+) -> Column:
+    """Argmax language with fixed-order tie-break (first declared lang
+    wins ties) — the deterministic n-gram heuristic language ID."""
+    scores = lang_scores(text, markers)
+    langs = list(markers.keys())
+    expr = F.lit(langs[-1])
+    # Build a reverse CASE chain so earlier languages win ties:
+    # lang_i chosen iff score_i >= score_j for all j > i and no earlier
+    # lang already claimed it.
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = scores[langs[i]] >= scores[langs[j]]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
+    return expr
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>), the unit of
+    near-dup detection. Built with sequence+transform — no explode here
+    so callers control when the row multiplication happens."""
+    toks = word_tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def _hex_digit(ch: Column) -> Column:
+    """hex char → 0..15 via position lookup (portable: same construct
+    exists in every SQL dialect, unlike conv())."""
+    return F.instr(F.lit("0123456789abcdef"), ch) - F.lit(1)
+
+
+def simhash_bit_votes(word_hash: Column, bits: int) -> list:
+    """Per-word ±1 votes for each SimHash bit.
+
+    ``word_hash`` is an md5 hex string; bit b is bit (b%4) of hex digit
+    (b//4) from the right of the first bits//4 hex chars. Returns a list
+    of int columns in (-1, +1).
+    """
+    ndigits = bits // 4
+    votes = []
+    for b in range(bits):
+        digit_pos = ndigits - (b // 4)  # 1-based from left
+        d = _hex_digit(F.substring(word_hash, digit_pos, 1))
+        bit = F.floor(d / F.lit(2 ** (b % 4))).cast("long") % 2
+        votes.append((bit * 2 - 1).cast("long"))
+    return votes
+
+
+def simhash_column(text: Column, bits: int = 32, ngram: int = 1) -> Column:
+    """Per-document SimHash, computed entirely with array expressions
+    (no shuffle, no UDF): for each bit, sum ±1 votes of md5(feature)
+    across the document's distinct features; bit = vote>0.
+
+    ``ngram=1`` votes over distinct words; ``ngram>1`` votes over word
+    n-gram shingles — the right grain when the corpus vocabulary is
+    small (distinct-word sets collide, shingle sets don't).
+
+    Packed into a bigint (bits ≤ 62 to stay in signed range).
+    """
+    if bits > 62:
+        raise ValueError("bits must be <= 62 to fit a signed 64-bit simhash")
+    words = (
+        F.array_distinct(word_tokens(text)) if ngram == 1 else shingles(text, ngram)
+    )
+    ndigits = bits // 4
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        digit_pos = ndigits - (b // 4)
+        vote_sum = F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + (
+                (
+                    F.floor(
+                        _hex_digit(F.substring(F.md5(w), digit_pos, 1))
+                        / F.lit(2 ** (b % 4))
+                    ).cast("long")
+                    % 2
+                )
+                * 2
+                - 1
+            ),
+        )
+        total = total + F.when(vote_sum > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total
+
+
+def fingerprint_agg(text: Column, n: int = 3, keep: int = 4) -> Column:
+    """Document fingerprint: the ``keep`` lexicographically smallest
+    md5(shingle) hex strings, joined with '-'.
+
+    Min-sampling over rolling n-gram hashes — a deterministic winnowing
+    variant: two documents share fingerprint components iff they share
+    low-hash shingles, so equal fingerprints ⇒ high overlap. Pure array
+    expressions, no shuffle.
+    """
+    hashes = F.array_sort(F.transform(shingles(text, n), F.md5))
+    return F.array_join(F.slice(hashes, 1, keep), "-")

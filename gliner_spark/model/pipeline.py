@@ -48,6 +48,12 @@ class PipelineConfig:
     relation_threshold: Optional[float] = None
     dim: int = 64
     seed: int = 42
+    # "encoder" = zero-shot span×label scoring (the GLiNER path);
+    # "gazetteer" = dictionary-only annotation: encoder scores are
+    # skipped and only exact gazetteer matches fire. The gazetteer mode
+    # is closed-form (no learned weights), which makes the distributed
+    # operator checkable against a plain-SQL oracle end to end.
+    scoring: str = "encoder"
     # dependency-lite proximity: a predicate pattern only fires when the
     # head and tail spans are within this many words of each other.
     max_pattern_distance: int = 10
@@ -120,6 +126,14 @@ class GLiNERPipeline:
         # Structural parity: the prompt exists on the real-model path.
         _prompted, _plen = build_entity_prompt(tokens, self.labels)
         sidx = span_idx_array(L, K)
+        if self.config.scoring == "gazetteer":
+            # Dictionary-only mode: no encoder scores; spans light up via
+            # _apply_gazetteer alone. Reps stay zero (relex patterns
+            # drive adjacency in this mode).
+            return (
+                np.zeros((L, K, len(self.labels))),
+                np.zeros((L * K, self.config.dim)),
+            )
         token_embs = self.encoder.embed_tokens(tokens)
         span_reps = self.encoder.span_representations(token_embs, sidx)
         logits = self.encoder.score_spans(span_reps, self.label_embs)  # (L*K, C)

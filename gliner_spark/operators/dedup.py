@@ -1,0 +1,336 @@
+"""Deduplication operators for web-scale corpora.
+
+Five routes, cheapest-first — the standard large-corpus dedup ladder:
+
+  exact (hash groupBy) → SimHash (hamming bands) → MinHash+LSH
+  (shingle→minhash→band→bucket join) → n-gram Jaccard (verify) →
+  embedding cosine (semantic near-dup)
+
+All are pure DataFrame compositions (no UDFs): hashing is ``md5``,
+set-similarity math is int/int division, and every pair-generating join
+is an equi-join on a blocking key so Catalyst/AQE handle skew. The
+reference repo has no dedup (single-process NER library); these are the
+net-new training-data-pipeline components the 100 TB target requires.
+
+Scale notes:
+* every self-join here is *blocked* — on md5(text), a SimHash band, an
+  LSH band bucket, or a shared shingle — never an unblocked O(n²)
+  cross join;
+* hot blocks (boilerplate shingles that appear in millions of docs)
+  quadratically blow up pair generation, so ``max_df`` drops shingles
+  with document frequency above a cap — the standard stop-shingle
+  trick. The cap is part of the operator's contract (the SQL oracle
+  applies the same cap);
+* outputs are id pairs (a < b) plus exact rational scores — no float
+  aggregations, so results are engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, simhash_column
+from ..functions.vectors import cosine_similarity
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: (id, content_hash, canonical_id, is_duplicate).
+
+    canonical_id = min id sharing md5(text). One shuffle, keyed by the
+    hash (uniformly distributed — no skew by construction).
+    """
+    hashed = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+        .select(id_col, "content_hash", "canonical_id", "is_duplicate")
+    )
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """(id, shingle) rows, distinct per doc, optionally dropping
+    shingles with document frequency > max_df (stop-shingles)."""
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        rows = rows.withColumn("_df", F.count(F.lit(1)).over(w)).where(
+            F.col("_df") <= F.lit(max_df)
+        ).drop("_df")
+    return rows
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs with word-n-gram Jaccard ≥ threshold.
+
+    shingle-explode → self-equi-join on shingle (the blocking key) →
+    per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|. Jaccard is
+    int/int, exact. Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    ``max_df`` caps pair generation on boilerplate shingles; when set,
+    Jaccard is computed over the *capped* shingle sets (the oracle
+    matches this semantics exactly).
+    """
+    sh = _shingle_rows(df, id_col, text_col, n, max_df).cache()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact Jaccard.
+
+    shingle → ``num_hashes`` salted-md5 min-hashes (lexicographic min of
+    hex strings — a valid min-wise permutation family) → ``bands`` band
+    signatures → equi-join on (band_idx, band_sig) → exact-Jaccard
+    verification of the candidates only.
+
+    At scale this is the route that avoids ngram_jaccard_pairs'
+    shared-shingle join entirely: candidate generation touches only
+    band buckets (tiny), and the expensive exact verify runs on the few
+    surviving candidates. Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sh = _shingle_rows(df, id_col, text_col, n, max_df).cache()
+
+    # num_hashes min-aggregations in ONE shuffle: per-shingle salted
+    # hashes as columns, then groupBy(_id).min each.
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.select("_id", *hash_cols).groupBy("_id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)]
+    )
+
+    # Band signatures → (band_idx, band_sig, _id) rows.
+    band_structs = []
+    for bidx in range(bands):
+        parts = [
+            F.col(f"m{j}")
+            for j in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(bidx).alias("band_idx"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_sig"),
+            )
+        )
+    bands_df = sig.select(
+        "_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("_id", "band.band_idx", "band.band_sig")
+
+    cand = (
+        bands_df.alias("a")
+        .join(bands_df.alias("b"), on=["band_idx", "band_sig"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    # Exact verify on candidates only (semi-join-sized work).
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pair_sh = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa._id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb._id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pair_sh.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_table(
+    df: DataFrame,
+    bits: int = 32,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(_id, sh): per-doc SimHash via explode + one hash-aggregate.
+
+    Each feature's md5 is computed ONCE and all ``bits`` bit-votes are
+    derived from it as integer arithmetic inside a single groupBy —
+    bits× cheaper than per-bit array aggregation, and the one shuffle is
+    keyed by doc id (uniform). This is the scale path; the array-only
+    ``functions.text.simhash_column`` (zero-shuffle) remains for
+    narrow-pipeline use.
+    """
+    feats = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+            if ngram == 1
+            else shingles(F.col(text_col), ngram)
+        ).alias("feat"),
+    ).withColumn("h", F.md5("feat"))
+    ndigits = bits // 4
+    votes = []
+    for b in range(bits):
+        digit_pos = ndigits - (b // 4)
+        d = F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.col("h"), digit_pos, 1)
+        ) - F.lit(1)
+        bit = F.floor(d / F.lit(2 ** (b % 4))).cast("long") % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+    agg = feats.groupBy("_id").agg(*votes)
+    sh = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = term if sh is None else sh + term
+    return agg.select("_id", sh.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming), id_a < id_b.
+
+    Per-doc ``bits``-bit SimHash (functions.text.simhash_column — pure
+    array expressions, no shuffle), then banded blocking: two docs
+    within hamming ≤ bands−1 must agree on ≥1 of ``bands`` equal-width
+    bit bands (pigeonhole), so the candidate join is an equi-join on
+    (band_idx, band_value). Final filter by exact popcount(xor).
+    """
+    assert bits % bands == 0
+    band_bits = bits // bands
+    hashed = simhash_table(df, bits=bits, ngram=ngram, id_col=id_col, text_col=text_col)
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band_idx"),
+            (
+                F.floor(F.col("sh") / F.lit(2 ** (bidx * band_bits))).cast("long")
+                % F.lit(2**band_bits)
+            ).alias("band_val"),
+        )
+        for bidx in range(bands)
+    ]
+    banded = hashed.select(
+        "_id", "sh", F.explode(F.array(*band_structs)).alias("band")
+    ).select("_id", "sh", "band.band_idx", "band.band_val")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band_idx", "band_val"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= F.lit(max_hamming))
+    )
+    return pairs
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs by embedding cosine ≥ threshold.
+
+    Output: (id_a, id_b) only — scores are float-path-dependent across
+    engines, ids are not (threshold margins are checked by tests).
+
+    ``block_col`` optionally restricts the self-join to equal blocking
+    keys (e.g. an LSH sign bucket or a cluster id); without it this is
+    the exact O(n²) verify used at small n / as ground truth. At 100 TB
+    always pass a block — the unblocked variant exists as the
+    correctness baseline, mirroring the brute-force/ANN split in
+    operators/similarity.py.
+    """
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("_blk"))
+    vecs = df.select(*cols)
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    joined = (
+        a.join(b, on="_blk").where(cond)
+        if block_col is not None
+        else a.crossJoin(b).where(cond)
+    )
+    return (
+        joined.where(
+            cosine_similarity(F.col("a._v"), F.col("b._v")) >= F.lit(float(threshold))
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )

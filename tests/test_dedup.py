@@ -1,0 +1,140 @@
+"""Dedup operator semantics on planted duplicates."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("theta", "XXXX")),  # near dup of 0
+        (3, "totally different content about ships and oceans and tides sailing far"),
+        (4, "totally different content about ships and oceans and tides sailing near"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_canonical_and_flags(self, docs):
+        got = {r.doc_id: r for r in exact_duplicates(docs).collect()}
+        assert got[0].canonical_id == 0 and not got[0].is_duplicate
+        assert got[1].canonical_id == 0 and got[1].is_duplicate
+        assert got[2].canonical_id == 2 and not got[2].is_duplicate
+        assert got[0].content_hash == got[1].content_hash != got[2].content_hash
+
+
+class TestJaccard:
+    def test_planted_pairs_found(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        }
+        assert pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+        assert (3, 4) in pairs
+        assert (0, 3) not in pairs
+
+    def test_max_df_caps_boilerplate(self, spark):
+        # one shingle shared by every doc; with max_df=2 it can't
+        # generate pairs
+        rows = [(i, f"common shingle here unique{i} word{i} tail{i}") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = ngram_jaccard_pairs(df, threshold=0.01).count()
+        capped = ngram_jaccard_pairs(df, threshold=0.01, max_df=2).count()
+        assert uncapped > 0 and capped == 0
+
+
+class TestMinHashLSH:
+    def test_verified_pairs_subset_of_exact_jaccard(self, docs):
+        exact = {
+            (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        # LSH may miss (probabilistic recall) but never invents: verified
+        # candidates are a subset of the exact result.
+        assert lsh <= exact
+        assert (0, 1) in lsh  # identical docs always collide in every band
+
+    def test_jaccard_values_match_exact_route(self, docs):
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect():
+            assert exact[(r.id_a, r.id_b)] == r.jaccard
+
+
+class TestSimHash:
+    def test_exact_dups_distance_zero(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(docs, max_hamming=16).collect()
+        }
+        assert pairs[(0, 1)] == 0
+
+    def test_band_pigeonhole_guarantee(self, docs):
+        """Banded blocking guarantees candidate generation for hamming
+        ≤ bands−1; doc pair (0,2) has hamming 7, so 8 bands (4-bit
+        bands over 32 bits) must surface it."""
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(docs, bands=8, max_hamming=16).collect()
+        }
+        assert pairs[(0, 2)] == 7
+        assert pairs[(0, 1)] == 0
+
+    def test_threshold_filters(self, docs):
+        tight = {
+            (r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=0).collect()
+        }
+        assert tight == {(0, 1)}
+
+
+class TestEmbeddingCosine:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.04, 0.0, 0.0]),  # near dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_threshold_pairs(self, vecs):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(vecs, threshold=0.9).collect()
+        }
+        assert pairs == {(0, 1)}
+
+    def test_blocked_variant_subset(self, vecs):
+        from gliner_spark.functions.vectors import sign_bucket
+
+        blocked = vecs.withColumn("bucket", sign_bucket(F.col("embedding"), 4))
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(
+                blocked, threshold=0.9, block_col="bucket"
+            ).collect()
+        }
+        full = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(vecs, threshold=0.9).collect()
+        }
+        assert got <= full

@@ -1,0 +1,129 @@
+"""Unit tests for gliner_spark.functions (text + vectors)."""
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from gliner_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint_agg,
+    lang_id_column,
+    quality_columns,
+    regex_token_count,
+    shingles,
+    simhash_column,
+    stopword_count,
+    word_count,
+)
+from gliner_spark.functions.vectors import cosine_similarity, dot_product, sign_bucket
+from gliner_spark.operators.dedup import simhash_table
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today ok"),
+            (1, "a b c d e f g h i j"),
+            (2, "spark table scan fast fast fast table spark scan scan"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestTextFunctions:
+    def test_token_counts(self, tdf):
+        row = (
+            tdf.where("doc_id = 0")
+            .select(
+                word_count(F.col("text")).alias("w"),
+                regex_token_count(F.col("text")).alias("r"),
+                bpe_ish_token_count(F.col("text")).alias("b"),
+            )
+            .first()
+        )
+        assert row.w == 11 and row.r == 11 and row.b == 11
+
+    def test_bpe_splits_punct_and_digits(self, spark):
+        df = spark.createDataFrame([("ab1 c-d!",)], "text string")
+        row = df.select(
+            regex_token_count(F.col("text")).alias("r"),
+            bpe_ish_token_count(F.col("text")).alias("b"),
+        ).first()
+        # \w+ → ["ab1", "c-d"... no: "c", "d" separated by '-'] = ab1,c,d → 3
+        assert row.r == 3
+        # bpe-ish → ab,1,c,-,d,! → 6
+        assert row.b == 6
+
+    def test_stopword_count_multiplicity(self, tdf):
+        row = tdf.where("doc_id = 0").select(
+            stopword_count(F.col("text")).alias("s")
+        ).first()
+        assert row.s == 2  # 'the' twice
+
+    def test_quality_ratios_exact(self, tdf):
+        cols = quality_columns(F.col("text"))
+        row = (
+            tdf.where("doc_id = 1")
+            .select(*[c.alias(n) for n, c in cols.items()])
+            .first()
+        )
+        assert row.n_words == 10
+        assert row.n_stop == 1  # 'a'
+        assert row.stop_ratio == 1 / 10
+        assert row.mean_word_len == 1.0
+        assert bool(row.quality_keep) is True
+
+    def test_lang_id_tie_break_order(self, spark):
+        # no markers at all → every score 0 → first declared lang wins
+        df = spark.createDataFrame([("zzz yyy xxx",)], "text string")
+        assert df.select(lang_id_column(F.col("text")).alias("l")).first().l == "en"
+
+    def test_shingles_distinct_and_ordered(self, tdf):
+        row = tdf.where("doc_id = 2").select(
+            shingles(F.col("text")).alias("sh")
+        ).first()
+        assert "spark table scan" in row.sh
+        assert len(row.sh) == len(set(row.sh))
+
+    def test_fingerprint_deterministic_and_sensitive(self, tdf):
+        fps = {
+            r.doc_id: r.fp
+            for r in tdf.select(
+                "doc_id", fingerprint_agg(F.col("text")).alias("fp")
+            ).collect()
+        }
+        assert fps[0] != fps[1] != fps[2]
+        assert all(len(fp.split("-")) == 4 for fp in fps.values())
+
+    def test_simhash_column_matches_simhash_table(self, tdf):
+        """The zero-shuffle array-expression SimHash and the explode+agg
+        scale path must produce identical hashes."""
+        a = {
+            r.doc_id: r.sh
+            for r in tdf.select(
+                "doc_id", simhash_column(F.col("text"), 32, ngram=3).alias("sh")
+            ).collect()
+        }
+        b = {r._id: r.sh for r in simhash_table(tdf, bits=32, ngram=3).collect()}
+        assert a == b
+
+
+class TestVectorFunctions:
+    def test_dot_and_cosine(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0, 1.0], [1.0, 1.0, 0.0])], "a array<float>, b array<float>"
+        )
+        row = df.select(
+            dot_product(F.col("a"), F.col("b")).alias("d"),
+            cosine_similarity(F.col("a"), F.col("a")).alias("self_cos"),
+        ).first()
+        assert row.d == 1.0
+        assert row.self_cos == pytest.approx(1.0)
+
+    def test_sign_bucket(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, -1.0, 2.0, -0.5, 1.0, 1.0, -1.0, 1.0],)], "v array<float>"
+        )
+        # bits set at i=0,2,4,5,7 → 1+4+16+32+128
+        assert df.select(sign_bucket(F.col("v"), 8).alias("b")).first().b == 181
