@@ -224,6 +224,7 @@ def q_kg_canonical_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = dup_edges.unionByName(jac_edges)
     comps = connected_components(edges)
+    comps = F.broadcast(comps)
     return (
         docs.select("doc_id")
         .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")

@@ -28,13 +28,55 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    max_driver_edges: int = 5_000_000,
 ) -> DataFrame:
     """edges(src, dst) → assignments(node, component).
 
     ``component`` is the minimum node id reachable from ``node``.
     Deterministic; undirected interpretation of edges.
+
+    Two physical routes with identical results:
+
+    * **small edge set** (≤ max_driver_edges): collect the edges and run
+      union-find on the driver, then parallelize the assignment. Match
+      edges are the *rare* near-dup pairs — a fraction of a percent of
+      the corpus — so even a 10^12-doc run usually fits; the collect is
+      of edges, never of the corpus. This avoids paying ~2 shuffles ×
+      O(diameter) rounds of fixed job overhead for a tiny graph.
+    * **large edge set**: iterative distributed min-label propagation
+      (below), one shuffle per round, lineage truncated per round.
     """
     spark = edges.sparkSession
+    # Single action: fetch up to the limit + 1; overflow → distributed.
+    head = edges.select(src, dst).limit(max_driver_edges + 1).collect()
+    if len(head) <= max_driver_edges:
+        pairs = [(r[0], r[1]) for r in head]
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in pairs:
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        # component = min member id (matches the distributed route)
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            if r not in comp_min or node < comp_min[r]:
+                comp_min[r] = node
+        rows = [(n, comp_min[find(n)]) for n in parent]
+        sch = edges.select(F.col(src).alias("node")).schema
+        node_type = sch["node"].dataType.simpleString()
+        return spark.createDataFrame(
+            rows, f"node {node_type}, component {node_type}"
+        )
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

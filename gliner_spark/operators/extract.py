@@ -51,6 +51,24 @@ TRIPLE_SCHEMA = (
 _PIPELINE_CACHE: dict = {}
 
 
+def _ensure_parallelism(df: DataFrame, min_partitions: Optional[int]) -> DataFrame:
+    """Round-robin repartition when the scan under-partitions.
+
+    A small/compacted parquet file arrives as ONE input split, which
+    serializes the whole extraction onto one core — the inverse of the
+    skew problem. Default: bring partitions up to the cluster's
+    defaultParallelism (callers doing their own salted repartition pass
+    ``min_partitions=0`` to opt out). At 100 TB the scan naturally
+    yields ~maxPartitionBytes-sized splits and this is a no-op.
+    """
+    if min_partitions == 0:
+        return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _get_pipeline(labels, relations, cfg_kwargs, gazetteer=None, patterns=None) -> GLiNERPipeline:
     """Process-level pipeline singleton keyed by (labels, relations, cfg)."""
     key = (
@@ -84,6 +102,7 @@ def extract_entities(
     text_col: str = "text",
     lang_col: Optional[str] = "lang",
     gazetteer: Optional[dict] = None,
+    min_partitions: Optional[int] = None,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages(url, text[, lang]) → entities(url, start, end, text, label, score).
@@ -112,7 +131,9 @@ def extract_entities(
                 rows, columns=["url", "start", "end", "text", "label", "score"]
             )
 
-    return df.select(*cols).mapInPandas(run, ENTITY_SCHEMA)
+    return _ensure_parallelism(df.select(*cols), min_partitions).mapInPandas(
+        run, ENTITY_SCHEMA
+    )
 
 
 def extract_triples(
@@ -128,6 +149,7 @@ def extract_triples(
     lang_col: Optional[str] = "lang",
     gazetteer: Optional[dict] = None,
     patterns: Optional[Sequence] = None,
+    min_partitions: Optional[int] = None,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages → triples(url, subj_*, pred, obj_*, score).
@@ -180,4 +202,6 @@ def extract_triples(
                 ],
             )
 
-    return df.select(*cols).mapInPandas(run, TRIPLE_SCHEMA)
+    return _ensure_parallelism(df.select(*cols), min_partitions).mapInPandas(
+        run, TRIPLE_SCHEMA
+    )
