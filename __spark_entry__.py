@@ -42,6 +42,13 @@ from gliner_spark.operators.dedup import (
 )
 from gliner_spark.operators.extract import extract_entities, extract_triples
 from gliner_spark.operators.multimodal import media_metadata
+from gliner_spark.operators.multitask import (
+    answer_questions,
+    classify_documents,
+    open_extract,
+    prompt_mode_relations,
+    summarize_documents,
+)
 from gliner_spark.operators.similarity import brute_force_topk, bucketed_topk
 
 # ---------------------------------------------------------------------------
@@ -82,6 +89,17 @@ PATTERNS = [
 ]
 RELATIONS = [p[1] for p in PATTERNS]
 PATTERN_DIST = 10
+
+# Multitask-pipeline fixtures (gazetteer mode → SQL-checkable)
+SUM_GAZ = {"spark": "summary", "customer": "summary", "table": "summary"}
+SUM_TOPK = 3
+QA_GAZ = {"customer": "answer"}
+QA_QUESTION = "which role is mentioned?"
+OPEN_GAZ = {"spark": "match"}
+OPEN_PROMPT = "Find technology mentions:"
+REL2_MENTION_GAZ = {"customer": "named entity"}
+REL2_PAIR_GAZ = {"table": "customer <> uses"}
+REL2_RELATIONS = ["uses"]
 
 JACCARD_T = 0.5
 COSINE_T = 0.45
@@ -275,6 +293,51 @@ def q_kg_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mt_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = classify_documents(
+        _pages(spark, sf_dir), ENT_LABELS,
+        threshold=0.5, gazetteer=GAZ_FULL, scoring="gazetteer",
+    )
+    return _as_doc_id(out).select("doc_id", "label", "score")
+
+
+def q_mt_summarization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = summarize_documents(
+        _pages(spark, sf_dir), top_k=SUM_TOPK,
+        threshold=0.5, gazetteer=SUM_GAZ, scoring="gazetteer",
+    )
+    return _as_doc_id(out).select("doc_id", "summary", "n_spans")
+
+
+def q_mt_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = answer_questions(
+        _pages(spark, sf_dir).withColumn("question", F.lit(QA_QUESTION)),
+        threshold=0.5, gazetteer=QA_GAZ, scoring="gazetteer",
+    )
+    return _as_doc_id(out).select("doc_id", "answer", "start", "end", "score")
+
+
+def q_mt_open_ie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = open_extract(
+        _pages(spark, sf_dir), prompt=OPEN_PROMPT,
+        threshold=0.5, gazetteer=OPEN_GAZ, scoring="gazetteer",
+    )
+    return _as_doc_id(out).select("doc_id", "start", "end", "text", "score")
+
+
+def q_mt_prompt_relex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = prompt_mode_relations(
+        _pages(spark, sf_dir),
+        relations=REL2_RELATIONS,
+        mention_gazetteer=REL2_MENTION_GAZ,
+        pair_gazetteer=REL2_PAIR_GAZ,
+        threshold=0.5,
+    )
+    return _as_doc_id(out).select(
+        "doc_id", "subj_text", "pred", "obj_start", "obj_end", "obj_text", "score"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
@@ -383,6 +446,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linking_exact": q_kg_linking_exact,
         "kg_canonical_cc": q_kg_canonical_cc,
         "kg_eval_prf": q_kg_eval_prf,
+        "mt_classification": q_mt_classification,
+        "mt_summarization": q_mt_summarization,
+        "mt_qa": q_mt_qa,
+        "mt_open_ie": q_mt_open_ie,
+        "mt_prompt_relex": q_mt_prompt_relex,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -649,6 +717,61 @@ SELECT tp, n_pred, n_gold,
        tp / n_gold AS recall,
        2.0 * (tp / n_pred) * (tp / n_gold) / ((tp / n_pred) + (tp / n_gold)) AS f1
 FROM counts
+""",
+        "mt_classification": f"""
+WITH {_TOKS_CTE.strip().rstrip(',')},
+{_ents_cte(GAZ_FULL).strip().lstrip()},
+li AS (SELECT * FROM (VALUES {', '.join(f"('{lab}', {i})" for i, lab in enumerate(ENT_LABELS))})
+       AS l(label, idx)),
+scores AS (
+  SELECT e.doc_id, e.label, max(e.score) AS score
+  FROM ents e GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.doc_id, s.label, s.score,
+         row_number() OVER (PARTITION BY s.doc_id
+               ORDER BY s.score DESC, li.idx ASC) AS rn
+  FROM scores s JOIN li ON li.label = s.label
+)
+SELECT doc_id, label, score FROM ranked WHERE rn = 1
+""",
+        "mt_summarization": f"""
+WITH {_TOKS_CTE.strip().rstrip(',')},
+{_ents_cte(SUM_GAZ).strip().lstrip()},
+ranked AS (
+  SELECT doc_id, text, start, score,
+         row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, start ASC) AS rn
+  FROM ents
+)
+SELECT doc_id,
+       string_agg(text, ' ' ORDER BY start) AS summary,
+       CAST(count(*) AS INT) AS n_spans
+FROM ranked WHERE rn <= {SUM_TOPK} GROUP BY doc_id
+""",
+        "mt_qa": f"""
+WITH {_TOKS_CTE.strip().rstrip(',')},
+{_ents_cte(QA_GAZ).strip().lstrip()}
+SELECT doc_id, text AS answer, start, "end", score FROM ents
+""",
+        "mt_open_ie": f"""
+WITH {_TOKS_CTE.strip().rstrip(',')},
+{_ents_cte(OPEN_GAZ).strip().lstrip()}
+SELECT doc_id, start, "end", text, score FROM ents
+""",
+        "mt_prompt_relex": f"""
+WITH {_TOKS_CTE.strip().rstrip(',')},
+heads AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'customer'),
+tails AS (
+  SELECT t.doc_id, t.cstart AS obj_start,
+         CAST(t.cstart + length(t.tok) AS INT) AS obj_end,
+         t.tok AS obj_text,
+         {_SCORE_EXPR.replace('tok', 't.tok')} AS score
+  FROM toks t WHERE t.tok = 'table'
+)
+SELECT ta.doc_id, 'customer' AS subj_text, 'uses' AS pred,
+       ta.obj_start, ta.obj_end, ta.obj_text, ta.score
+FROM tails ta JOIN heads h ON h.doc_id = ta.doc_id
 """,
         "dedup_exact": """
 SELECT doc_id, md5(text) AS content_hash,

@@ -87,7 +87,8 @@ def _get_pipeline(labels, relations, cfg_kwargs, gazetteer=None, patterns=None) 
             gazetteer=gazetteer,
             patterns=patterns,
         )
-        _PIPELINE_CACHE.clear()  # one live config per worker is enough
+        if len(_PIPELINE_CACHE) >= 128:  # bound memory; prompt-mode relex
+            _PIPELINE_CACHE.pop(next(iter(_PIPELINE_CACHE)))  # cycles label sets
         _PIPELINE_CACHE[key] = pipe
     return pipe
 
