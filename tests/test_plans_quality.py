@@ -1,0 +1,76 @@
+"""Physical-plan quality gates: the plans we ship must keep the shapes
+that make them survive a 100× scale-up — column pruning at the scan,
+predicate pushdown into parquet, broadcast joins for small dims, and no
+gratuitous exchanges in the extraction path."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.extract import extract_entities
+from gliner_spark.sources.pages import pages_df, read_pages
+
+LABELS = ["person", "organization"]
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    pages_df(spark, 100).write.mode("overwrite").parquet(path)
+    return path
+
+
+def formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark_explain_mode("formatted")
+    )
+
+
+def spark_explain_mode(mode):
+    from pyspark.sql import SparkSession
+
+    jvm = SparkSession.getActiveSession()._jvm
+    return jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+
+
+class TestScanPruning:
+    def test_html_column_pruned_from_scan(self, spark, pages_path):
+        df = read_pages(spark, pages_path)
+        plan = formatted_plan(df)
+        # ReadSchema must carry only the selected narrow columns
+        assert "ReadSchema" in plan
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "html" not in read_schema
+        assert "text" in read_schema and "url" in read_schema
+
+    def test_extraction_plan_prunes_scan_too(self, spark, pages_path):
+        # even when the caller passes the full table, the operator's
+        # internal select must reach the scan
+        full = spark.read.parquet(pages_path)
+        ents = extract_entities(full, LABELS)
+        read_schema = [
+            l for l in formatted_plan(ents).splitlines() if "ReadSchema" in l
+        ][0]
+        assert "html" not in read_schema and "warc_ts" not in read_schema
+
+    def test_lang_filter_pushed_to_parquet(self, spark, pages_path):
+        df = read_pages(spark, pages_path).where(F.col("lang") == "en")
+        plan = formatted_plan(df)
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+        assert "lang" in pushed and "IsNotNull" in pushed or "EqualTo" in pushed
+
+
+class TestExchangeBudget:
+    def test_extraction_has_at_most_one_exchange(self, spark, pages_path):
+        """The extraction operator is embarrassingly parallel: its plan
+        may contain ONE round-robin exchange (the defensive repartition
+        for under-split scans) and nothing else."""
+        ents = extract_entities(read_pages(spark, pages_path), LABELS)
+        plan = formatted_plan(ents)
+        assert plan.count("Exchange") <= 2  # formatted lists node + detail
+        assert "SortMergeJoin" not in plan
+
+    def test_wholestage_codegen_covers_relational_glue(self, spark, pages_path):
+        df = read_pages(spark, pages_path).where(F.trim("text") != "")
+        # formatted mode tags codegen'd operators with "[codegen id : N]"
+        assert "codegen id" in formatted_plan(df)

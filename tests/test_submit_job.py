@@ -1,0 +1,75 @@
+"""spark-submit --py-files integration: the packaged zip must be a
+self-sufficient deployment artifact (north rule: runs via spark-submit
+on multi-executor clusters; resume is exercised through a second
+submit)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(
+    os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+class TestSubmit:
+    def test_pyfiles_job_runs_and_resumes(self, spark, tmp_path):
+        sys.path.insert(0, REPO)
+        from gliner_spark.sources.pages import pages_df
+        from scripts.package_pyfiles import build
+
+        zip_path = build(str(tmp_path / "dist"))
+        pages_path = str(tmp_path / "pages.parquet")
+        pages_df(spark, 40).write.mode("overwrite").parquet(pages_path)
+        gaz = {"acme corporation": "organization", "john smith": "person"}
+        gaz_path = str(tmp_path / "gaz.json")
+        json.dump(gaz, open(gaz_path, "w"))
+        pat_path = str(tmp_path / "patterns.json")
+        json.dump([["person", "works_at", "organization"]], open(pat_path, "w"))
+
+        out = str(tmp_path / "triples")
+        man = str(tmp_path / "manifest")
+
+        def submit(run_id):
+            cmd = [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--py-files", zip_path,
+                os.path.join(REPO, "scripts", "run_kg_job.py"),
+                "--pages", pages_path,
+                "--out", out,
+                "--manifest", man,
+                "--labels", "person,organization",
+                "--relations", "works_at",
+                "--gazetteer", gaz_path,
+                "--patterns", pat_path,
+                "--run-id", run_id,
+                "--chunks", "2",
+                "--salt", "4",
+            ]
+            # cwd OUTSIDE the repo: the zip must supply gliner_spark
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=str(tmp_path), timeout=240
+            )
+            assert proc.returncode == 0, proc.stderr[-3000:]
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)
+
+        first = submit("r1")
+        assert first["chunks_run"] == 2 and first["chunks_skipped"] == 0
+
+        resumed = submit("r2")
+        assert resumed["chunks_run"] == 0 and resumed["chunks_skipped"] == 2
+        assert resumed["new_rows"] == 0
+
+        got = spark.read.parquet(out)
+        assert {"url", "subj_text", "pred", "obj_text", "score"} <= set(got.columns)
