@@ -158,12 +158,13 @@ class GLiNERPipeline:
             return probs
         L, K, _C = probs.shape
         n = len(starts)
-        for s in range(L):
-            for k in range(K):
-                e = s + k
-                if e >= n:
-                    break
-                surface = text[starts[s]: ends[e]].lower()
+        # Only span widths that can match a gazetteer term need scanning
+        # (a k-word surface only matches k-word terms) — typically 1-2
+        # widths instead of all K.
+        widths = {len(term.split()) - 1 for term in self.gazetteer}
+        for k in sorted(w for w in widths if 0 <= w < K):
+            for s in range(min(L, n - k)):
+                surface = text[starts[s]: ends[s + k]].lower()
                 label = self.gazetteer.get(surface)
                 if label is not None:
                     pos = self._label_pos.get(label)
@@ -251,25 +252,25 @@ class GLiNERPipeline:
             # --- step 3: adjacency + directed pairs ---
             adj = sigmoid(self.encoder.adjacency_logits(packed_reps))
             packed_spans = sidx[packed_idx]  # (E, 2) word positions
+            # Vectorized word-gap matrix (shared by adjacency + rel
+            # boosts): gap[i,j] = max(start_j - end_i, start_i - end_j).
+            st, en = packed_spans[:, 0], packed_spans[:, 1]
+            gap_mat = np.maximum(st[None, :] - en[:, None], st[:, None] - en[None, :])
+            lab_arr = np.array(packed_labels)
             if self.patterns:
                 # dependency-lite predicate patterns: a typed pair that
                 # matches any (head_label, *, tail_label) pattern AND sits
                 # within max_pattern_distance words is a confident
-                # adjacency candidate.
-                typed_pairs = {(h, t) for (h, _r, t) in self.patterns}
+                # adjacency candidate. Vectorized over the E×E grid
+                # (the reference's O(E²) Python loop is its bottleneck,
+                # modeling/utils.py:254-258 — SURVEY.md §4.3).
                 maxd = self.config.max_pattern_distance
-                for i in range(E):
-                    for j in range(E):
-                        if i == j:
-                            continue
-                        if (packed_labels[i], packed_labels[j]) not in typed_pairs:
-                            continue
-                        gap = max(
-                            packed_spans[j, 0] - packed_spans[i, 1],
-                            packed_spans[i, 0] - packed_spans[j, 1],
-                        )
-                        if gap <= maxd:
-                            adj[i, j] = max(adj[i, j], 0.95)
+                typed = np.zeros((E, E), dtype=bool)
+                for h, _r, t in self.patterns:
+                    typed |= (lab_arr[:, None] == h) & (lab_arr[None, :] == t)
+                np.fill_diagonal(typed, False)
+                boost = typed & (gap_mat <= maxd)
+                adj = np.where(boost, np.maximum(adj, 0.95), adj)
             rows, cols = np.nonzero(~np.eye(E, dtype=bool))  # row-major (i, j), i != j
             sel = adj[rows, cols] > adj_thr
             pairs = np.stack([rows[sel], cols[sel]], axis=1)
@@ -282,16 +283,14 @@ class GLiNERPipeline:
                 rel_probs = sigmoid(rel_logits)
                 if self.patterns:
                     maxd = self.config.max_pattern_distance
-                    for n, (i, j) in enumerate(pairs):
-                        gap = max(
-                            packed_spans[j, 0] - packed_spans[i, 1],
-                            packed_spans[i, 0] - packed_spans[j, 1],
-                        )
-                        if gap > maxd:
-                            continue
-                        for c, rel in enumerate(self.relations):
-                            if (packed_labels[i], rel, packed_labels[j]) in self.patterns:
-                                rel_probs[n, c] = max(rel_probs[n, c], 0.93)
+                    hl = lab_arr[pairs[:, 0]]
+                    tl = lab_arr[pairs[:, 1]]
+                    near = gap_mat[pairs[:, 0], pairs[:, 1]] <= maxd
+                    rel_pos = {r: c for c, r in enumerate(self.relations)}
+                    for h, r, t in self.patterns:
+                        c = rel_pos[r]
+                        mask = near & (hl == h) & (tl == t)
+                        rel_probs[mask, c] = np.maximum(rel_probs[mask, c], 0.93)
 
         # --- step 5: decode ---
         spans = decode_span_probs(
