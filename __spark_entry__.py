@@ -179,6 +179,16 @@ def q_kg_entities_zeroshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
 
 
+def q_kg_entities_tokenmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mode scorer (start/end/inside + min-rule span assembly,
+    reference M7/D5) — rows-only check (learned-weight analog)."""
+    ents = extract_entities(
+        _pages(spark, sf_dir), labels=ENT_LABELS, threshold=0.5,
+        lang_col=None, mode="token",
+    )
+    return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = extract_triples(
         _pages(spark, sf_dir),
@@ -441,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_gazetteer_entities": q_kg_gazetteer_entities,
         "kg_entities_zeroshot": q_kg_entities_zeroshot,
+        "kg_entities_tokenmode": q_kg_entities_tokenmode,
         "kg_triples": q_kg_triples,
         "kg_triples_zeroshot": q_kg_triples_zeroshot,
         "kg_linking_exact": q_kg_linking_exact,

@@ -83,6 +83,20 @@ class DeterministicEncoder:
         self.w_span = rng.standard_normal((2 * dim, dim)) / np.sqrt(2 * dim)
         self.w_adj = rng.standard_normal((dim, dim)) / np.sqrt(dim)
         self.w_pair = rng.standard_normal((2 * dim, dim)) / np.sqrt(2 * dim)
+        # token-mode start/end/inside projections (drawn AFTER the span
+        # weights so span-mode outputs stay bit-identical across
+        # versions). The three channels are correlated perturbations of
+        # one base — in a trained token model start/end/inside agree on
+        # real entities, and fully independent random channels would
+        # (unrealistically) almost never coincide above threshold.
+        _tok_base = rng.standard_normal((dim, dim))
+        self.w_tok = np.stack(
+            [
+                (_tok_base + 0.25 * rng.standard_normal((dim, dim)))
+                / np.sqrt(dim)
+                for _ in range(3)
+            ]
+        )
         self._token_cache: Dict[str, np.ndarray] = {}
 
     # ---- embeddings -----------------------------------------------------
@@ -139,6 +153,27 @@ class DeterministicEncoder:
     def score_spans(self, span_reps: np.ndarray, label_embs: np.ndarray) -> np.ndarray:
         """(S, D) × (C, D) → (S, C) logits; the M6 einsum 'join'."""
         return (_mm(span_reps, label_embs.T) - self.margin) / self.temperature
+
+    def token_label_scores(
+        self, token_embs: np.ndarray, label_embs: np.ndarray
+    ) -> np.ndarray:
+        """(W, D) × (C, D) → (W, C, 3) start/end/inside logits.
+
+        The token-mode scorer (gliner/modeling/scorers.py:45-81: per-token
+        bilinear+MLP against label prompts with 3 output channels) with
+        deterministic weights; channel order [start, end, inside] matches
+        the decoder contract (decoder.py:961-1028).
+        """
+        W = token_embs.shape[0]
+        C = label_embs.shape[0]
+        if W == 0 or C == 0:
+            return np.zeros((W, C, 3))
+        chans = []
+        for i in range(3):
+            proj = np.tanh(_mm(token_embs, self.w_tok[i]))
+            proj /= np.linalg.norm(proj, axis=1, keepdims=True) + 1e-9
+            chans.append((_mm(proj, label_embs.T) - self.margin) / self.temperature)
+        return np.stack(chans, axis=-1)
 
     # ---- relation scoring -------------------------------------------------
 

@@ -54,6 +54,11 @@ class PipelineConfig:
     # is closed-form (no learned weights), which makes the distributed
     # operator checkable against a plain-SQL oracle end to end.
     scoring: str = "encoder"
+    # "span" = (L,K,C) span×label scoring (default GLiNER mode);
+    # "token" = (W,C,3) start/end/inside scoring decoded by span
+    # assembly with the min-score rule (scorers.py:45-81 + decoder.py:
+    # 975-1028) — the token-mode model family.
+    mode: str = "span"
     # dependency-lite proximity: a predicate pattern only fires when the
     # head and tail spans are within this many words of each other.
     max_pattern_distance: int = 10
@@ -185,11 +190,32 @@ class GLiNERPipeline:
         tokens, starts, ends = self._prepare(text, lang)
         if not tokens:
             return []
+        if self.config.mode == "token":
+            return self._predict_entities_token(tokens, text, starts, ends, thr)
         probs, _ = self._score_spans(tokens)
         probs = self._apply_gazetteer(probs, text, starts, ends)
         spans = decode_span_probs(
             probs,
             tokens,
+            self.id_to_class,
+            threshold=thr,
+            flat_ner=self.config.flat_ner,
+            multi_label=self.config.multi_label,
+        )
+        return map_spans_to_char(spans, text, starts, ends)
+
+    def _predict_entities_token(self, tokens, text, starts, ends, thr):
+        """Token-mode path: (W,C,3) start/end/inside probabilities →
+        span assembly with the min-score rule (decoder.py:975-1028)."""
+        from ..kernel.decoding import decode_token_scores
+
+        token_embs = self.encoder.embed_tokens(tokens)
+        logits = self.encoder.token_label_scores(token_embs, self.label_embs)
+        probs = sigmoid(logits)  # (W, C, 3)
+        spans = decode_token_scores(
+            probs[:, :, 0],
+            probs[:, :, 1],
+            probs[:, :, 2],
             self.id_to_class,
             threshold=thr,
             flat_ner=self.config.flat_ner,

@@ -53,7 +53,11 @@ class TestContract:
     def test_rows_only_queries_documented(self):
         rows_only = set(entry.queries()) - set(entry.oracle_sql())
         # only the learned-weight analogs are exempt from SQL oracles
-        assert rows_only == {"kg_entities_zeroshot", "kg_triples_zeroshot"}
+        assert rows_only == {
+            "kg_entities_zeroshot",
+            "kg_triples_zeroshot",
+            "kg_entities_tokenmode",
+        }
 
     def test_entry_runs_and_has_stable_schema(self, spark):
         df = entry.entry(spark)
