@@ -182,8 +182,10 @@ def q_kg_entities_zeroshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_entities_tokenmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-mode scorer (start/end/inside + min-rule span assembly,
     reference M7/D5) — rows-only check (learned-weight analog)."""
+    # 0.4: the hash-seeded scorer needs a slightly laxer threshold than
+    # a trained model on this tiny-vocabulary corpus to emit any spans.
     ents = extract_entities(
-        _pages(spark, sf_dir), labels=ENT_LABELS, threshold=0.5,
+        _pages(spark, sf_dir), labels=ENT_LABELS, threshold=0.4,
         lang_col=None, mode="token",
     )
     return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
