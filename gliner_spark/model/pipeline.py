@@ -181,15 +181,37 @@ class GLiNERPipeline:
 
     # ------------------------------------------------------------------
     def predict_entities(
-        self, text: str, lang: str = "en", threshold: Optional[float] = None
+        self,
+        text: str,
+        lang: str = "en",
+        threshold: Optional[float] = None,
+        input_spans: Optional[Sequence[Tuple[int, int]]] = None,
+        return_class_probs: bool = False,
     ) -> List[Dict[str, Any]]:
-        """Entities with char offsets for one document (model.py:1493-1520)."""
+        """Entities with char offsets for one document (model.py:1493-1520).
+
+        ``input_spans`` restricts decoding to user-provided CHAR spans
+        (D9, decoder.py:258-266): each is converted to word indices via
+        the exact-boundary reverse maps and silently dropped when it
+        doesn't align to token boundaries (P6, model.py:1243-1279).
+        ``return_class_probs`` attaches the top-k per-class
+        probabilities per span (D4, decoder.py:159-188).
+        """
         if not isinstance(text, str) or not text.strip():
             return []  # _filter_valid_texts (model.py:1222-1241)
         thr = self.config.threshold if threshold is None else threshold
         tokens, starts, ends = self._prepare(text, lang)
         if not tokens:
             return []
+        word_spans = None
+        if input_spans is not None:
+            start_map = {cs: i for i, cs in enumerate(starts)}
+            end_map = {ce: i for i, ce in enumerate(ends)}
+            word_spans = [
+                (start_map[cs], end_map[ce])
+                for cs, ce in input_spans
+                if cs in start_map and ce in end_map  # silent drop (P6)
+            ]
         if self.config.mode == "token":
             return self._predict_entities_token(tokens, text, starts, ends, thr)
         probs, _ = self._score_spans(tokens)
@@ -201,6 +223,8 @@ class GLiNERPipeline:
             threshold=thr,
             flat_ner=self.config.flat_ner,
             multi_label=self.config.multi_label,
+            return_class_probs=return_class_probs,
+            input_spans=word_spans,
         )
         return map_spans_to_char(spans, text, starts, ends)
 

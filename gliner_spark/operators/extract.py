@@ -104,6 +104,8 @@ def extract_entities(
     lang_col: Optional[str] = "lang",
     gazetteer: Optional[dict] = None,
     min_partitions: Optional[int] = None,
+    spans_col: Optional[str] = None,
+    return_class_probs: bool = False,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages(url, text[, lang]) → entities(url, start, end, text, label, score).
@@ -111,29 +113,57 @@ def extract_entities(
     One output row per detected entity; char offsets; ``text`` is the
     byte-identical slice of the source text (the per-row invariant,
     gliner/model.py:1316-1322).
+
+    ``spans_col`` names an ``array<struct<start int, end int>>`` column
+    of user-provided char spans: decoding is restricted to those spans
+    (D9), with non-token-aligned spans silently dropped (P6).
+    ``return_class_probs`` appends a ``class_probs map<string,double>``
+    column with the top-k class probabilities per span (D4).
     """
     labels = list(labels)
     cfg = dict(threshold=threshold, flat_ner=flat_ner, multi_label=multi_label)
     cfg.update(cfg_kwargs)
     has_lang = lang_col is not None and lang_col in df.columns
     cols = [url_col, text_col] + ([lang_col] if has_lang else [])
+    if spans_col is not None:
+        cols.append(spans_col)
+    out_cols = ["url", "start", "end", "text", "label", "score"]
+    schema = ENTITY_SCHEMA
+    if return_class_probs:
+        out_cols.append("class_probs")
+        schema += ", class_probs map<string,double>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pipe = _get_pipeline(labels, [], cfg, gazetteer=gazetteer)
         for pdf in batches:
             rows: List[tuple] = []
             langs = pdf[lang_col] if has_lang else ["en"] * len(pdf)
-            for url, text, lang in zip(pdf[url_col], pdf[text_col], langs):
-                for e in pipe.predict_entities(text, lang or "en"):
-                    rows.append(
-                        (url, e["start"], e["end"], e["text"], e["label"], float(e["score"]))
+            span_lists = pdf[spans_col] if spans_col is not None else [None] * len(pdf)
+            for url, text, lang, spans in zip(
+                pdf[url_col], pdf[text_col], langs, span_lists
+            ):
+                input_spans = (
+                    [(int(s["start"]), int(s["end"])) for s in spans]
+                    if spans is not None
+                    else None
+                )
+                for e in pipe.predict_entities(
+                    text,
+                    lang or "en",
+                    input_spans=input_spans,
+                    return_class_probs=return_class_probs,
+                ):
+                    row = (
+                        url, e["start"], e["end"], e["text"], e["label"],
+                        float(e["score"]),
                     )
-            yield pd.DataFrame(
-                rows, columns=["url", "start", "end", "text", "label", "score"]
-            )
+                    if return_class_probs:
+                        row = row + (e.get("class_probs"),)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return _ensure_parallelism(df.select(*cols), min_partitions).mapInPandas(
-        run, ENTITY_SCHEMA
+        run, schema
     )
 
 
