@@ -16,6 +16,7 @@ Both produce (span_logits, ...) consumed by the same decode kernels, so
 swapping backends never changes decode semantics.
 """
 
+from .api import SparkGLiNER
 from .encoder import DeterministicEncoder, OnnxEncoder, get_encoder
 from .pipeline import GLiNERPipeline, PipelineConfig
 
@@ -25,4 +26,5 @@ __all__ = [
     "get_encoder",
     "GLiNERPipeline",
     "PipelineConfig",
+    "SparkGLiNER",
 ]

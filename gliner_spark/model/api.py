@@ -1,0 +1,119 @@
+"""Migration facade: the reference's ``GLiNER`` surface over Spark.
+
+A user of the reference writes
+
+    model = GLiNER.from_pretrained(...)
+    model.predict_entities(text, labels, threshold=0.5)
+    model.inference(texts, labels)
+    model.evaluate(test_data)
+
+This class keeps those verbs (gliner/model.py:1384-1608) while routing
+batch work through the distributed operators — single strings run the
+kernel in-process (no Spark job for one document), DataFrames fan out.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+
+from .pipeline import GLiNERPipeline, PipelineConfig
+
+# NOTE: operator modules import model.pipeline; importing them here at
+# module scope would make gliner_spark.model.__init__ circular when an
+# executor worker unpickles a UDF closure. They are imported lazily
+# inside the table verbs instead.
+
+
+class SparkGLiNER:
+    """Drop-in-shaped facade over the Spark-native pipeline."""
+
+    def __init__(
+        self,
+        labels: Sequence[str],
+        relations: Sequence[str] = (),
+        config: Optional[PipelineConfig] = None,
+        gazetteer: Optional[Dict[str, str]] = None,
+        patterns: Optional[Sequence[Tuple[str, str, str]]] = None,
+    ):
+        self.labels = list(labels)
+        self.relations = list(relations)
+        self.config = config or PipelineConfig()
+        self.gazetteer = gazetteer
+        self.patterns = list(patterns) if patterns else None
+        self._pipe = GLiNERPipeline(
+            self.labels, self.relations, self.config,
+            gazetteer=gazetteer, patterns=patterns,
+        )
+
+    @classmethod
+    def from_config(cls, labels, relations=(), **cfg) -> "SparkGLiNER":
+        gaz = cfg.pop("gazetteer", None)
+        pat = cfg.pop("patterns", None)
+        return cls(labels, relations, PipelineConfig(**cfg), gaz, pat)
+
+    # ---- single-document verbs (reference model.py:1493-1561) --------
+
+    def predict_entities(
+        self, text: str, labels: Optional[Sequence[str]] = None,
+        threshold: Optional[float] = None, **kw,
+    ) -> List[Dict[str, Any]]:
+        pipe = self._pipe_for(labels)
+        return pipe.predict_entities(text, threshold=threshold, **kw)
+
+    def predict_relations(
+        self, text: str, threshold: Optional[float] = None
+    ) -> List[Dict[str, Any]]:
+        _ents, rels = self._pipe.predict_triples(text, threshold=threshold)
+        return rels
+
+    def inference(
+        self, texts: Sequence[str], labels: Optional[Sequence[str]] = None,
+        threshold: Optional[float] = None,
+    ) -> List[List[Dict[str, Any]]]:
+        pipe = self._pipe_for(labels)
+        return [pipe.predict_entities(t, threshold=threshold) for t in texts]
+
+    # ---- table verbs (the Spark-native path) --------------------------
+
+    def batch_predict_entities(self, pages: DataFrame, **kw) -> DataFrame:
+        from ..operators.extract import extract_entities
+
+        return extract_entities(
+            pages, self.labels, threshold=self.config.threshold,
+            gazetteer=self.gazetteer, scoring=self.config.scoring,
+            mode=self.config.mode, flat_ner=self.config.flat_ner, **kw,
+        )
+
+    def batch_predict_triples(self, pages: DataFrame, **kw) -> DataFrame:
+        from ..operators.extract import extract_triples
+
+        return extract_triples(
+            pages, self.labels, self.relations,
+            threshold=self.config.threshold, gazetteer=self.gazetteer,
+            patterns=self.patterns, scoring=self.config.scoring,
+            flat_ner=self.config.flat_ner, **kw,
+        )
+
+    def evaluate(self, pred: DataFrame, gold: DataFrame) -> DataFrame:
+        """Micro P/R/F1 on exact (url, span, label) match (model.py:
+        1564-1608 → join-based A2-A4)."""
+        from ..operators.evaluation import micro_prf
+
+        return micro_prf(pred, gold)
+
+    def evaluate_relations(self, pred: DataFrame, gold: DataFrame) -> DataFrame:
+        from ..operators.evaluation import relex_micro_prf
+
+        return relex_micro_prf(pred, gold)
+
+    # ------------------------------------------------------------------
+
+    def _pipe_for(self, labels: Optional[Sequence[str]]) -> GLiNERPipeline:
+        if labels is None or list(labels) == self.labels:
+            return self._pipe
+        return GLiNERPipeline(
+            list(labels), self.relations, self.config,
+            gazetteer=self.gazetteer, patterns=self.patterns,
+        )

@@ -30,6 +30,19 @@ def flat_ner_for(dataset_name: str) -> bool:
     return not any(m in low for m in NESTED_NAME_MARKERS)
 
 
+def sample_train_mix(
+    dfs, per_dataset: int = 10_000, seed: int = 42
+) -> DataFrame:
+    """Shuffle + take ``per_dataset`` rows from each dataset, union —
+    the reference's train-mix sampler (evaluate_ner.py:275-330, A8) as
+    DataFrame ops. Deterministic via the seeded rand() sort key."""
+    out = None
+    for df in dfs:
+        part = df.orderBy(F.rand(seed)).limit(per_dataset)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def zero_shot_benchmark(
     spark: SparkSession,
     datasets: Dict[str, dict],
