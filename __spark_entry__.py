@@ -305,6 +305,26 @@ def q_kg_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_eval_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class P/R/F1 (macro view, SURVEY A2-A4 per-label branch)."""
+    from gliner_spark.operators.evaluation import per_label_prf
+
+    pages = _pages(spark, sf_dir)
+    pred = _as_doc_id(
+        extract_entities(
+            pages, labels=ENT_LABELS, threshold=0.5, lang_col=None,
+            gazetteer=GAZ_FULL, scoring="gazetteer",
+        )
+    ).withColumnRenamed("doc_id", "url")
+    gold = _as_doc_id(
+        extract_entities(
+            pages, labels=GOLD_LABELS, threshold=0.5, lang_col=None,
+            gazetteer=GAZ_GOLD, scoring="gazetteer",
+        )
+    ).withColumnRenamed("doc_id", "url")
+    return per_label_prf(pred, gold)
+
+
 def q_mt_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = classify_documents(
         _pages(spark, sf_dir), ENT_LABELS,
@@ -459,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linking_exact": q_kg_linking_exact,
         "kg_canonical_cc": q_kg_canonical_cc,
         "kg_eval_prf": q_kg_eval_prf,
+        "kg_eval_per_label": q_kg_eval_per_label,
         "mt_classification": q_mt_classification,
         "mt_summarization": q_mt_summarization,
         "mt_qa": q_mt_qa,
@@ -730,6 +751,36 @@ SELECT tp, n_pred, n_gold,
        tp / n_gold AS recall,
        2.0 * (tp / n_pred) * (tp / n_gold) / ((tp / n_pred) + (tp / n_gold)) AS f1
 FROM counts
+""",
+        "kg_eval_per_label": f"""
+WITH {_TOKS_CTE.strip().rstrip(',')},
+gazp AS (SELECT * FROM {_values(GAZ_FULL)}),
+gazg AS (SELECT * FROM {_values(GAZ_GOLD)}),
+pred AS (SELECT DISTINCT t.doc_id, t.cstart AS start,
+                CAST(t.cstart + length(t.tok) AS INT) AS "end", g.label
+         FROM toks t JOIN gazp g ON t.tok = g.term),
+gold AS (SELECT DISTINCT t.doc_id, t.cstart AS start,
+                CAST(t.cstart + length(t.tok) AS INT) AS "end", g.label
+         FROM toks t JOIN gazg g ON t.tok = g.term),
+p AS (SELECT label, count(*) AS n_pred FROM pred GROUP BY label),
+g AS (SELECT label, count(*) AS n_gold FROM gold GROUP BY label),
+t AS (SELECT pred.label, count(*) AS tp
+      FROM pred JOIN gold USING (doc_id, start, "end", label)
+      GROUP BY pred.label),
+j AS (SELECT label,
+             coalesce(n_pred, 0) AS n_pred,
+             coalesce(n_gold, 0) AS n_gold,
+             coalesce(tp, 0) AS tp
+      FROM p FULL JOIN g USING (label) LEFT JOIN t USING (label)),
+m AS (SELECT label, n_pred, n_gold, tp,
+             CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END AS precision,
+             CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END AS recall
+      FROM j)
+SELECT label, n_pred, n_gold, tp, precision, recall,
+       CASE WHEN (precision + recall) > 0
+            THEN 2 * precision * recall / (precision + recall)
+            ELSE 0.0 END AS f1
+FROM m
 """,
         "mt_classification": f"""
 WITH {_TOKS_CTE.strip().rstrip(',')},

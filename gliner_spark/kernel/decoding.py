@@ -74,17 +74,33 @@ def greedy_search(
 
     Stable sort by score desc; keep a span iff it doesn't overlap any
     already-kept span; stably re-sort kept spans by start.
-    """
-    overlap = has_overlapping if flat_ner else has_overlapping_nested
 
+    The acceptance loop is inherently sequential, but the overlap test
+    of one candidate against the whole kept set is vectorized — exact
+    boolean-for-boolean port of has_overlapping /
+    has_overlapping_nested (differential-tested against the reference's
+    own greedy_search in tests/test_reference_parity.py).
+    """
     kept: List[Span] = []
+    ks: List[int] = []  # kept starts / ends as parallel arrays
+    ke: List[int] = []
     for span in sorted(spans, key=lambda x: -x.score):
-        tup = (span.start, span.end, span.entity_type)
-        if not any(
-            overlap(tup, (k.start, k.end, k.entity_type), multi_label=multi_label)
-            for k in kept
-        ):
-            kept.append(span)
+        if kept:
+            a_s = np.asarray(ks)
+            a_e = np.asarray(ke)
+            same = (a_s == span.start) & (a_e == span.end)
+            iv = ~((span.start > a_e) | (a_s > span.end))
+            if not flat_ner:
+                nested = ((a_s <= span.start) & (a_e >= span.end)) | (
+                    (span.start <= a_s) & (span.end >= a_e)
+                )
+                iv = iv & ~nested
+            conflict = np.where(same, not multi_label, iv)
+            if conflict.any():
+                continue
+        kept.append(span)
+        ks.append(span.start)
+        ke.append(span.end)
     return sorted(kept, key=lambda x: x.start)
 
 
@@ -213,21 +229,28 @@ def decode_relations(
     if rel_mask is None:
         rel_mask = np.ones(len(rel_idx), dtype=bool)
 
+    # Vectorized emission in the reference's exact (pair, class) scan
+    # order (row-major argwhere ≡ the nested loops of decoder.py:
+    # 805-841): valid pair AND prob > threshold AND known class id.
     n_spans = len(spans)
-    for j in range(len(rel_idx)):
-        if not rel_mask[j]:
-            continue
-        head_idx = int(rel_idx[j, 0])
-        tail_idx = int(rel_idx[j, 1])
-        if head_idx < 0 or tail_idx < 0:
-            continue
-        if head_idx >= n_spans or tail_idx >= n_spans:
-            continue  # pruned by greedy — semi-join against kept entities
-        for c in range(rel_probs.shape[1]):
-            prob = float(rel_probs[j, c])
-            if prob <= threshold:
-                continue
-            if (c + 1) not in rel_id_to_class:
-                continue
-            relations.append((head_idx, rel_id_to_class[c + 1], tail_idx, prob))
+    rel_idx = np.asarray(rel_idx)
+    heads = rel_idx[:, 0]
+    tails = rel_idx[:, 1]
+    pair_ok = (
+        np.asarray(rel_mask, dtype=bool)
+        & (heads >= 0) & (tails >= 0)
+        & (heads < n_spans) & (tails < n_spans)  # pruned-by-greedy semi-join
+    )
+    C = rel_probs.shape[1]
+    class_ok = np.array([(c + 1) in rel_id_to_class for c in range(C)])
+    emit = pair_ok[:, None] & (rel_probs > threshold) & class_ok[None, :]
+    for j, c in np.argwhere(emit):
+        relations.append(
+            (
+                int(heads[j]),
+                rel_id_to_class[int(c) + 1],
+                int(tails[j]),
+                float(rel_probs[j, c]),
+            )
+        )
     return relations

@@ -80,6 +80,7 @@ class DeterministicEncoder:
         self.margin = margin
         rng = np.random.default_rng(seed)
         # Fixed "weights" (the deterministic analog of trained parameters).
+        self._span_cache: Dict[tuple, np.ndarray] = {}
         self.w_span = rng.standard_normal((2 * dim, dim)) / np.sqrt(2 * dim)
         self.w_adj = rng.standard_normal((dim, dim)) / np.sqrt(dim)
         self.w_pair = rng.standard_normal((2 * dim, dim)) / np.sqrt(2 * dim)
@@ -149,6 +150,42 @@ class DeterministicEncoder:
         rep = np.tanh(_mm(cat, self.w_span))
         norm = np.linalg.norm(rep, axis=1, keepdims=True) + 1e-9
         return rep / norm
+
+    def span_representations_tokens(
+        self, tokens: Sequence[str], span_idx: np.ndarray
+    ) -> np.ndarray:
+        """Like :meth:`span_representations` but keyed by token STRINGS
+        with a cross-document cache.
+
+        A span rep depends only on (start_token, end_token); web-corpus
+        vocabularies are Zipf-heavy, so most pairs repeat across
+        documents and the tanh([e_s ‖ e_e] @ W) matmul is skipped for
+        them. Bitwise identical to the uncached path: einsum computes
+        each output row independently (fixed-order per-row reduction),
+        so batch composition can't change the values.
+        """
+        L = len(tokens)
+        if L == 0:
+            return np.zeros((len(span_idx), self.dim))
+        starts = np.clip(span_idx[:, 0], 0, L - 1)
+        ends = np.clip(span_idx[:, 1], 0, L - 1)
+        keys = [(tokens[s], tokens[e]) for s, e in zip(starts, ends)]
+        missing = [k for k in dict.fromkeys(keys) if k not in self._span_cache]
+        if missing:
+            cat = np.concatenate(
+                [
+                    np.stack([self.token_embedding(a) for a, _ in missing]),
+                    np.stack([self.token_embedding(b) for _, b in missing]),
+                ],
+                axis=1,
+            )
+            rep = np.tanh(_mm(cat, self.w_span))
+            rep /= np.linalg.norm(rep, axis=1, keepdims=True) + 1e-9
+            if len(self._span_cache) > 2_000_000:  # bound executor memory
+                self._span_cache.clear()
+            for k, r in zip(missing, rep):
+                self._span_cache[k] = r
+        return np.stack([self._span_cache[k] for k in keys])
 
     def score_spans(self, span_reps: np.ndarray, label_embs: np.ndarray) -> np.ndarray:
         """(S, D) × (C, D) → (S, C) logits; the M6 einsum 'join'."""

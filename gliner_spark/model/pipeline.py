@@ -139,8 +139,10 @@ class GLiNERPipeline:
                 np.zeros((L, K, len(self.labels))),
                 np.zeros((L * K, self.config.dim)),
             )
-        token_embs = self.encoder.embed_tokens(tokens)
-        span_reps = self.encoder.span_representations(token_embs, sidx)
+        # token-pair-keyed span reps with a cross-document cache (Zipf
+        # vocabularies repeat pairs heavily; bit-identical to the
+        # uncached path — each einsum row is computed independently)
+        span_reps = self.encoder.span_representations_tokens(tokens, sidx)
         logits = self.encoder.score_spans(span_reps, self.label_embs)  # (L*K, C)
         probs = sigmoid(logits).reshape(L, K, len(self.labels))
         return probs, span_reps

@@ -1,0 +1,62 @@
+"""Skew plan: salted repartition must actually break hot-key skew."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gliner_spark.plans.skew import length_bucketed, salted_repartition
+from gliner_spark.sources.pages import pages_df
+
+
+class TestSaltedRepartition:
+    def test_hot_domain_spread_over_partitions(self, spark):
+        """The fixture corpus is domain/lang-skewed (>50% of rows in 2
+        domains). Repartitioning on lang alone would put all 'en' rows
+        in one partition; the salt must spread them."""
+        pages = pages_df(spark, 400)
+        n_part = 8
+        salted = salted_repartition(pages, num_partitions=n_part)
+        sizes = (
+            salted.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().collect()
+        )
+        counts = [r["count"] for r in sizes]
+        total = sum(counts)
+        # no partition owns more than ~2.5x the fair share
+        assert max(counts) <= 2.5 * total / n_part, counts
+        # and the hot language is not confined to one partition
+        en_parts = (
+            salted.where(F.col("lang") == "en")
+            .withColumn("pid", F.spark_partition_id())
+            .select("pid").distinct().count()
+        )
+        assert en_parts >= n_part // 2
+
+    def test_deterministic_placement(self, spark):
+        pages = pages_df(spark, 100)
+        a = (
+            salted_repartition(pages, num_partitions=4)
+            .withColumn("pid", F.spark_partition_id())
+            .select("url", "pid").collect()
+        )
+        b = (
+            salted_repartition(pages, num_partitions=4)
+            .withColumn("pid", F.spark_partition_id())
+            .select("url", "pid").collect()
+        )
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_length_bucketing_orders_within_partition(self, spark):
+        pages = pages_df(spark, 200)
+        shaped = length_bucketed(salted_repartition(pages, num_partitions=4))
+        rows = (
+            shaped.withColumn("pid", F.spark_partition_id())
+            .withColumn("len", F.length("text"))
+            .select("pid", "len")
+            .collect()
+        )
+        by_pid = {}
+        for r in rows:
+            by_pid.setdefault(r.pid, []).append(r.len)
+        for pid, lens in by_pid.items():
+            assert lens == sorted(lens), pid
