@@ -34,8 +34,21 @@ class TestBruteForce:
         assert a == b
 
     def test_query_side_broadcast_in_plan(self, emb, queries):
-        plan = brute_force_topk(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+        # expression route: query side must be broadcast, never shuffled
+        plan = (
+            brute_force_topk(emb, queries, k=5, vectorized=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_vectorized_route_matches_expression_route(self, emb, queries):
+        a = sorted(
+            map(tuple, brute_force_topk(emb, queries, k=5, vectorized=True).collect())
+        )
+        b = sorted(
+            map(tuple, brute_force_topk(emb, queries, k=5, vectorized=False).collect())
+        )
+        assert a == b
 
 
 class TestBucketed:
