@@ -112,6 +112,81 @@ def _brute_force_topk_vectorized(
     return _topk(partial, k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse KMeans quantizer + multi-probe search.
+
+    Train ``n_centroids`` KMeans centroids on the corpus (pyspark.ml,
+    seeded), assign every corpus vector to its cell, and for each query
+    search the ``n_probe`` nearest cells exactly. The classic
+    inverted-file trade: candidate work drops to ~n_probe/n_centroids
+    of the corpus, recall rises with n_probe (tests measure it against
+    brute force). Output contract identical to the other routes:
+    (query_id, neighbor_id, rank).
+
+    At 100 TB the assignment is a one-off pass persisted alongside the
+    embeddings (partitioned/bucketed by cell id), and queries only read
+    their probed cells — the same partition-pruning story as a
+    bucketed join.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    centers = np.stack(model.clusterCenters()).astype(np.float64)
+    sc = corpus.sparkSession.sparkContext
+    bc_centers = sc.broadcast(centers)
+
+    def assign_cells(n_cells: int):
+        """Column expr: nearest / n-nearest centroid ids via a pandas UDF."""
+        import pandas as pandas_mod
+        from pyspark.sql.functions import pandas_udf
+
+        def cells(v):
+            C = bc_centers.value
+            out = []
+            for vec in v:
+                x = np.asarray(vec, dtype=np.float64)
+                d = ((C - x) ** 2).sum(axis=1)
+                out.append(
+                    np.argsort(d, kind="stable")[:n_cells].astype("int32").tolist()
+                )
+            return pandas_mod.Series(out)
+
+        cells.__annotations__ = {
+            "v": pandas_mod.Series, "return": pandas_mod.Series
+        }
+        return pandas_udf(cells, "array<int>")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.element_at(assign_cells(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(assign_cells(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    return _topk(scored, k)
+
+
 def bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -4,7 +4,11 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from gliner_spark.operators.similarity import brute_force_topk, bucketed_topk
+from gliner_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    ivf_topk,
+)
 
 
 @pytest.fixture(scope="module")
@@ -71,6 +75,27 @@ class TestBucketed:
         inter = exact & {(r.query_id, r.neighbor_id) for r in approx}
         recall = len(inter) / len(exact)
         assert 0.0 <= recall <= 1.0  # informational; coarse at 4 bits
+
+    def test_ivf_recall_beats_narrow_probe(self, emb, queries):
+        """IVF contract: multi-probe recall ≥ single-probe recall, and
+        both produce valid ranked outputs."""
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+
+        def recall(n_probe):
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in ivf_topk(
+                    emb, queries, k=5, n_centroids=8, n_probe=n_probe
+                ).collect()
+            }
+            return len(exact & got) / len(exact)
+
+        r1, r4 = recall(1), recall(4)
+        assert 0.0 <= r1 <= r4 <= 1.0
+        assert r4 >= 0.5  # probing half the cells recovers most of top-k
 
     def test_bucket_join_is_equi_join(self, emb, queries):
         plan = (
