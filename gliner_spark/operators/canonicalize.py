@@ -47,9 +47,15 @@ def connected_components(
       (below), one shuffle per round, lineage truncated per round.
     """
     spark = edges.sparkSession
-    # Single action: fetch up to the limit + 1; overflow → distributed.
-    head = edges.select(src, dst).limit(max_driver_edges + 1).collect()
-    if len(head) <= max_driver_edges:
+    # Materialize the edge set once, fully parallel, then decide the
+    # route from its size. (A limit()-guarded collect would trigger
+    # CollectLimit's incremental partition execution and run the
+    # expensive edge-generating child nearly serially.)
+    edge_rows = edges.select(src, dst).persist()
+    n_edges = edge_rows.count()
+    if n_edges <= max_driver_edges:
+        head = edge_rows.collect()
+        edge_rows.unpersist()
         pairs = [(r[0], r[1]) for r in head]
         parent: dict = {}
 
@@ -77,9 +83,11 @@ def connected_components(
         return spark.createDataFrame(
             rows, f"node {node_type}, component {node_type}"
         )
+    # big-graph route: iterate over the cached edge rows (released when
+    # the caller's plan is done — tiny relative to the corpus anyway)
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edge_rows.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edge_rows.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()

@@ -366,6 +366,8 @@ def _cosine_pairs_vectorized(
     from typing import Iterator
 
     pdf = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+    if len(pdf) == 0:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long")
     ids = pdf["_id"].to_numpy()
     mat = np.stack(pdf["_v"].to_list()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
@@ -375,6 +377,8 @@ def _cosine_pairs_vectorized(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
         for chunk in batches:
+            if len(chunk) == 0:
+                continue
             cids = chunk["_id"].to_numpy()
             cmat = np.stack(chunk["_v"].to_list()).astype(np.float64)
             cmat /= np.linalg.norm(cmat, axis=1, keepdims=True) + 1e-12

@@ -78,6 +78,9 @@ def _brute_force_topk_vectorized(
     from typing import Iterator
 
     qpd = queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+    if len(qpd) == 0:
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
     q_ids = qpd["_id"].to_numpy()
     q_mat = np.stack(qpd["_v"].to_list()).astype(np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True) + 1e-12
@@ -86,6 +89,8 @@ def _brute_force_topk_vectorized(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat = bc.value
         for chunk in batches:
+            if len(chunk) == 0:
+                continue
             cids = chunk["_id"].to_numpy()
             cmat = np.stack(chunk["_v"].to_list()).astype(np.float64)
             cmat /= np.linalg.norm(cmat, axis=1, keepdims=True) + 1e-12
