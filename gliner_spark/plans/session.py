@@ -34,6 +34,13 @@ def build_session(
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs executors inside the driver JVM: size the heap
+        # for cores × working set, not for a driver-only process
+        # (only effective before the JVM starts)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -102,6 +102,66 @@ def fixture_datasets(
     return out
 
 
+def relex_gold_records(n: int = 30, seed: int = 42) -> List[dict]:
+    """Relex-format gold records (FIXTURES.md §3, mirroring
+    processor.py:1570-1654): word-level end-inclusive ``ner`` spans and
+    ``relations`` whose head/tail indices refer to the entity list
+    AFTER an (start, end) sort (processor.py:129-150)."""
+    rng = random.Random(seed)
+    people = ["alice", "bob", "carol"]
+    orgs = ["acme", "globex", "initech"]
+    recs = []
+    for i in range(n):
+        p, o = rng.choice(people), rng.choice(orgs)
+        pre = [rng.choice(_FILLER) for _ in range(rng.randint(1, 4))]
+        toks = pre + [p, "works", "at", o, "now"]
+        p_idx = len(pre)
+        o_idx = len(pre) + 3
+        ner = [
+            (p_idx, p_idx, "person"),
+            (o_idx, o_idx, "organization"),
+        ]
+        # already (start, end)-sorted → relation indices are positional
+        recs.append(
+            {
+                "url": f"relex://doc/{i}",
+                "tokenized_text": toks,
+                "ner": ner,
+                "relations": [(0, 1, "works_at")],
+                "rel_labels": ["works_at"],
+            }
+        )
+    return recs
+
+
+def relex_gold_frames(spark: SparkSession, n: int = 30, seed: int = 42):
+    """(pages_df, gold_triples_df) in the pipeline's char-offset shape.
+
+    Converts the reference-format records into (a) a text corpus and
+    (b) a gold triples table keyed the way relex_micro_prf joins
+    (url, pred, subj/obj char spans).
+    """
+    recs = relex_gold_records(n, seed)
+    pages = spark.createDataFrame(
+        [(r["url"], " ".join(r["tokenized_text"]), "en") for r in recs],
+        "url string, text string, lang string",
+    )
+    rows = []
+    for r in recs:
+        ner_sorted = sorted(r["ner"])  # processor.py:129-150 ordering
+        char_spans = word_spans_to_char(r["tokenized_text"], ner_sorted)
+        for h, t, rel in r["relations"]:
+            hs, he, _ = char_spans[h]
+            ts, te, _ = char_spans[t]
+            rows.append((r["url"], rel, hs, he, ts, te))
+    gold = spark.createDataFrame(
+        rows,
+        "url string, pred string, subj_start int, subj_end int, "
+        "obj_start int, obj_end int",
+    )
+    return pages, gold
+
+
 def word_spans_to_char(
     tokenized: List[str], ner: List[Tuple[int, int, str]]
 ) -> List[Tuple[int, int, str]]:

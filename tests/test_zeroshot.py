@@ -5,6 +5,7 @@ import pytest
 from gliner_spark.operators.zeroshot import flat_ner_for, zero_shot_benchmark
 from gliner_spark.sources.ner_fixtures import (
     fixture_datasets,
+    relex_gold_frames,
     word_spans_to_char,
 )
 
@@ -70,6 +71,33 @@ class TestHarness:
             ).collect()
         }
         assert flat["ace_nested"].recall < 1.0
+
+    def test_relex_gold_fixture_pipeline_scores_perfectly(self, spark):
+        """FIXTURES.md §3 end-to-end: reference-format relex gold
+        (word-level ner + index-based relations) → char-offset gold →
+        extraction with matching gazetteer/patterns → relex P/R = 1."""
+        from gliner_spark.operators.evaluation import relex_micro_prf
+        from gliner_spark.operators.extract import extract_triples
+
+        pages, gold = relex_gold_frames(spark, n=20)
+        gaz = {
+            "alice": "person", "bob": "person", "carol": "person",
+            "acme": "organization", "globex": "organization",
+            "initech": "organization",
+        }
+        pred = extract_triples(
+            pages, sorted(set(gaz.values())), ["works_at"],
+            gazetteer=gaz,
+            patterns=[("person", "works_at", "organization")],
+            scoring="gazetteer",
+            max_pattern_distance=3,  # only adjacent 'X works at Y' pairs
+        )
+        m = relex_micro_prf(pred, gold).first()
+        assert m.n_gold == 20
+        assert m.recall == 1.0
+        # precision < 1 is allowed (reverse-direction pattern hits), but
+        # every gold triple must be recovered exactly
+        assert m.tp == m.n_gold
 
     def test_average_row(self, metrics):
         avg = metrics["average"]
