@@ -142,6 +142,240 @@ class TestGreedySearchParity:
                     ], (flat, ml)
 
 
+class _NT:
+    """Minimal numpy-backed torch.Tensor stand-in: exactly the surface
+    _decode_batch_item touches (indexing, item, tolist, unsqueeze, *,
+    >, shape, device)."""
+
+    def __init__(self, a):
+        import numpy as np
+
+        self.a = np.asarray(a)
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    @property
+    def device(self):
+        return "cpu"
+
+    def __getitem__(self, idx):
+        return _NT(self.a[idx])
+
+    def __setitem__(self, idx, value):
+        self.a[idx] = value.a if isinstance(value, _NT) else value
+
+    def item(self):
+        return self.a.item()
+
+    def tolist(self):
+        return self.a.tolist()
+
+    def unsqueeze(self, dim):
+        import numpy as np
+
+        return _NT(np.expand_dims(self.a, dim))
+
+    def __mul__(self, other):
+        return _NT(self.a * (other.a if isinstance(other, _NT) else other))
+
+    __rmul__ = __mul__
+
+    def __gt__(self, other):
+        return _NT(self.a > (other.a if isinstance(other, _NT) else other))
+
+    def size(self, dim):
+        return self.a.shape[dim]
+
+    def __bool__(self):
+        return bool(self.a)
+
+    def __iter__(self):
+        return (_NT(x) for x in self.a)
+
+
+def _rich_torch_shim():
+    """numpy-backed torch module good enough to EXECUTE the reference's
+    span decode (not just import it)."""
+    import numpy as np
+
+    class _ShimModule(types.ModuleType):
+        # annotations elsewhere in the file touch torch.LongTensor etc.
+        def __getattr__(self, name):
+            return type(name, (), {})
+
+    m = _ShimModule("torch")
+    m.Tensor = _NT
+    m.bool = np.bool_
+
+    def where(cond):
+        return tuple(_NT(i) for i in np.where(cond.a))
+
+    def zeros(*shape, dtype=None, device=None):
+        return _NT(np.zeros(shape, dtype=bool if dtype is m.bool else dtype))
+
+    def topk(t, k, sorted=True):
+        idx = np.argsort(-t.a, kind="stable")[:k]
+        return _NT(t.a[idx]), _NT(idx)
+
+    def ones(shape, dtype=None, device=None):
+        return _NT(np.ones(shape, dtype=bool if dtype is m.bool else dtype))
+
+    def sigmoid(t):
+        return _NT(1.0 / (1.0 + np.exp(-t.a)))
+
+    m.where, m.zeros, m.topk = where, zeros, topk
+    m.ones, m.sigmoid = ones, sigmoid
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_decoder_live(ref):
+    """The reference SpanDecoder with an EXECUTABLE numpy torch shim —
+    its decode actually runs, tensor ops and all."""
+    created = []
+    old_torch = sys.modules.get("torch")
+    sys.modules["torch"] = _rich_torch_shim()
+    try:
+        for name in ("refg2", "refg2.decoding"):
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+            created.append(name)
+        _load("refg2.decoding.utils", f"{REF}/decoding/utils.py", "refg2.decoding")
+        created.append("refg2.decoding.utils")
+        dec = _load(
+            "refg2.decoding.decoder", f"{REF}/decoding/decoder.py", "refg2.decoding"
+        )
+        created.append("refg2.decoding.decoder")
+    except Exception as e:
+        for n in created:
+            sys.modules.pop(n, None)
+        if old_torch is not None:
+            sys.modules["torch"] = old_torch
+        pytest.skip(f"reference decoder not executable under shim: {e!r}")
+    yield dec
+    for n in created:
+        sys.modules.pop(n, None)
+    if old_torch is not None:
+        sys.modules["torch"] = old_torch
+    else:
+        sys.modules.pop("torch", None)
+
+
+class TestFullSpanDecodeParity:
+    """D1-D4 + D9 differential: the reference's _decode_batch_item runs
+    LIVE (numpy shim) against our decode_span_probs on random tensors."""
+
+    def _run_ref(self, dec_mod, probs, tokens, id_to_class, **kw):
+        decoder = dec_mod.SpanDecoder(config=None)
+        return decoder._decode_batch_item(
+            _NT(probs),
+            tokens,
+            id_to_class,
+            probs.shape[1],
+            kw.get("threshold", 0.5),
+            kw.get("flat_ner", True),
+            kw.get("multi_label", False),
+            {},
+            return_class_probs=kw.get("return_class_probs", False),
+            input_spans_i=kw.get("input_spans"),
+        )
+
+    def test_random_tensors_all_modes(self, ref_decoder_live):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        id_to_class = {1: "A", 2: "B", 3: "C"}
+        for case in range(60):
+            L = int(rng.integers(1, 10))
+            K = int(rng.integers(1, 5))
+            probs = rng.random((L, K, 3))
+            tokens = [f"t{i}" for i in range(L)]
+            flat = bool(case % 2)
+            ml = bool((case // 2) % 2)
+            exp = self._run_ref(
+                ref_decoder_live, probs, tokens, id_to_class,
+                flat_ner=flat, multi_label=ml,
+            )
+            got = ours.decode_span_probs(
+                probs, tokens, id_to_class,
+                threshold=0.5, flat_ner=flat, multi_label=ml,
+            )
+            assert [
+                (s.start, s.end, s.entity_type, s.score) for s in got
+            ] == [
+                (s.start, s.end, s.entity_type, s.score) for s in exp
+            ], (case, flat, ml)
+
+    def test_class_probs_and_input_spans(self, ref_decoder_live):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        id_to_class = {1: "A", 2: "B", 3: "C"}
+        probs = rng.random((8, 3, 3))
+        tokens = [f"t{i}" for i in range(8)]
+        spans = [(0, 1), (2, 2), (5, 7), (7, 9)]  # last is invalid width
+        exp = self._run_ref(
+            ref_decoder_live, probs, tokens, id_to_class,
+            return_class_probs=True, input_spans=spans,
+        )
+        got = ours.decode_span_probs(
+            probs, tokens, id_to_class, threshold=0.5,
+            return_class_probs=True, input_spans=spans,
+        )
+        assert [
+            (s.start, s.end, s.entity_type, s.score, s.class_probs) for s in got
+        ] == [
+            (s.start, s.end, s.entity_type, s.score, s.class_probs) for s in exp
+        ]
+
+
+class TestRelationDecodeParity:
+    """D7 differential: the reference's _decode_relations runs LIVE
+    (numpy shim) against our decode_relations — including the post-
+    greedy index-alignment quirk (decoder.py:822)."""
+
+    def test_random_relation_batches(self, ref_decoder_live):
+        import numpy as np
+
+        dec = ref_decoder_live.SpanRelexDecoder(config=None)
+        rng = np.random.default_rng(23)
+        rel_id_to_class = {1: "works_at", 2: "located_in"}
+        for case in range(40):
+            n_spans = int(rng.integers(0, 5))
+            spans_ref = [
+                (i, i + 1, "T", 0.9) for i in range(n_spans)
+            ]  # contents unused by the decode; only len() matters
+            spans_ours = [ours.Span(i, i + 1, "T", 0.9) for i in range(n_spans)]
+            N = int(rng.integers(1, 7))
+            # indices intentionally include out-of-range values to hit
+            # the pruned-endpoint semi-join path
+            rel_idx = rng.integers(-1, n_spans + 2, size=(N, 2))
+            rel_logits = rng.normal(0, 2, size=(N, 2))
+            mask = rng.random(N) > 0.2
+            exp = dec._decode_relations(
+                None,
+                [spans_ref],
+                _NT(rel_idx[None]),
+                _NT(rel_logits[None]),
+                _NT(mask[None]),
+                rel_id_to_class,
+                threshold=0.5,
+                batch_size=1,
+            )[0]
+            got = ours.decode_relations(
+                spans_ours,
+                rel_idx,
+                1.0 / (1.0 + np.exp(-rel_logits)),
+                mask,
+                rel_id_to_class,
+                threshold=0.5,
+            )
+            assert got == exp, case
+
+
 class TestTokenizerParity:
     CASES = [
         "simple words here",
