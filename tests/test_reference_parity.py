@@ -188,6 +188,20 @@ class _NT:
     def size(self, dim):
         return self.a.shape[dim]
 
+    def permute(self, *dims):
+        import numpy as np
+
+        return _NT(np.transpose(self.a, dims))
+
+    def __lt__(self, other):
+        return _NT(self.a < (other.a if isinstance(other, _NT) else other))
+
+    def any(self):
+        return bool(self.a.any())
+
+    def min(self):
+        return _NT(self.a.min())
+
     def __bool__(self):
         return bool(self.a)
 
@@ -225,8 +239,11 @@ def _rich_torch_shim():
     def sigmoid(t):
         return _NT(1.0 / (1.0 + np.exp(-t.a)))
 
+    def cat(tensors, dim=0):
+        return _NT(np.concatenate([t.a for t in tensors], axis=dim))
+
     m.where, m.zeros, m.topk = where, zeros, topk
-    m.ones, m.sigmoid = ones, sigmoid
+    m.ones, m.sigmoid, m.cat = ones, sigmoid, cat
     return m
 
 
@@ -374,6 +391,40 @@ class TestRelationDecodeParity:
                 threshold=0.5,
             )
             assert got == exp, case
+
+
+class TestTokenDecodeParity:
+    """D5 differential: the reference TokenDecoder's token-level decode
+    (start/end/inside + min-score rule) runs LIVE against ours."""
+
+    def test_random_token_batches(self, ref_decoder_live):
+        import numpy as np
+
+        from gliner_spark.kernel.decoding import sigmoid as np_sigmoid
+
+        dec = ref_decoder_live.TokenDecoder(config=None)
+        rng = np.random.default_rng(31)
+        id_to_class = {1: "A", 2: "B"}
+        for case in range(40):
+            W = int(rng.integers(1, 12))
+            logits = rng.normal(0, 1.2, size=(1, W, 2, 3))
+            tokens = [[f"t{i}" for i in range(W)]]
+            flat = bool(case % 2)
+            ml = bool((case // 2) % 2)
+            exp = dec.decode(
+                tokens, id_to_class, _NT(logits),
+                flat_ner=flat, threshold=0.5, multi_label=ml,
+            )[0]
+            probs = np_sigmoid(logits[0])  # (W, C, 3)
+            got = ours.decode_token_scores(
+                probs[:, :, 0], probs[:, :, 1], probs[:, :, 2],
+                id_to_class, threshold=0.5, flat_ner=flat, multi_label=ml,
+            )
+            assert [
+                (s.start, s.end, s.entity_type, s.score) for s in got
+            ] == [
+                (s.start, s.end, s.entity_type, s.score) for s in exp
+            ], (case, flat, ml)
 
 
 class TestTokenizerParity:
