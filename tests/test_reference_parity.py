@@ -427,6 +427,49 @@ class TestTokenDecodeParity:
             ], (case, flat, ml)
 
 
+class TestDataProcessingParity:
+    """T5 span enumeration + class-id mappings differential against
+    data_processing/utils.py (loaded under the executable shim)."""
+
+    @pytest.fixture(scope="class")
+    def ref_utils(self, ref_decoder_live):
+        old_torch = sys.modules.get("torch")
+        sys.modules["torch"] = _rich_torch_shim()
+        try:
+            mod = _load(
+                "refg2.data_processing.utils",
+                f"{REF}/data_processing/utils.py",
+                "refg2.data_processing",
+            )
+        except Exception as e:
+            pytest.skip(f"reference dp.utils not loadable: {e!r}")
+        finally:
+            if old_torch is not None:
+                sys.modules["torch"] = old_torch
+        yield mod
+        sys.modules.pop("refg2.data_processing.utils", None)
+
+    def test_prepare_span_idx(self, ref_utils):
+        from gliner_spark.kernel.spans import span_idx_array
+
+        for L in (0, 1, 3, 7, 25):
+            for K in (1, 2, 12):
+                exp = ref_utils.prepare_span_idx(L, K)
+                got = [tuple(r) for r in span_idx_array(L, K)]
+                assert got == exp, (L, K)
+
+    def test_make_mapping(self, ref_utils):
+        from gliner_spark.kernel.spans import make_mapping
+
+        for labels in (
+            ["PERSON", "ORG", "LOC", "PERSON"],
+            [],
+            ["a"],
+            ["x", "x", "x"],
+        ):
+            assert make_mapping(labels) == ref_utils.make_mapping(labels)
+
+
 class TestTokenizerParity:
     CASES = [
         "simple words here",
