@@ -10,6 +10,7 @@ from .text import (  # noqa: F401
     word_tokens,
     word_count,
     regex_token_count,
+    bpe_ish_token_count,
     char_count,
     stopword_count,
     word_char_sum,

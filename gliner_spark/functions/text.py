@@ -164,23 +164,6 @@ def _hex_digit(ch: Column) -> Column:
     return F.instr(F.lit("0123456789abcdef"), ch) - F.lit(1)
 
 
-def simhash_bit_votes(word_hash: Column, bits: int) -> list:
-    """Per-word ±1 votes for each SimHash bit.
-
-    ``word_hash`` is an md5 hex string; bit b is bit (b%4) of hex digit
-    (b//4) from the right of the first bits//4 hex chars. Returns a list
-    of int columns in (-1, +1).
-    """
-    ndigits = bits // 4
-    votes = []
-    for b in range(bits):
-        digit_pos = ndigits - (b // 4)  # 1-based from left
-        d = _hex_digit(F.substring(word_hash, digit_pos, 1))
-        bit = F.floor(d / F.lit(2 ** (b % 4))).cast("long") % 2
-        votes.append((bit * 2 - 1).cast("long"))
-    return votes
-
-
 def simhash_column(text: Column, bits: int = 32, ngram: int = 1) -> Column:
     """Per-document SimHash, computed entirely with array expressions
     (no shuffle, no UDF): for each bit, sum ±1 votes of md5(feature)

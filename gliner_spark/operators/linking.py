@@ -104,16 +104,11 @@ def add_lsh_signature(
 
 
 def cosine_expr(a: str, b: str):
-    """Exact cosine similarity as a built-in Column expression
-    (zip_with + aggregate — JVM-side, no Python)."""
-    dot = F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb + F.lit(1e-9))
+    """Exact cosine similarity as a built-in Column expression — the
+    shared implementation from functions.vectors (fixed-order fold)."""
+    from ..functions.vectors import cosine_similarity
+
+    return cosine_similarity(F.col(a), F.col(b))
 
 
 def lsh_candidate_pairs(
