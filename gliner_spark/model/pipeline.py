@@ -17,7 +17,7 @@ unit-testable off-cluster and callable from ``mapInPandas``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
