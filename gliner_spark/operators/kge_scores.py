@@ -1,0 +1,63 @@
+"""Triple-plausibility scoring over an emitted triples table (M14).
+
+Appends a ``kge_score`` column to triples(subj_text, pred, obj_text,…)
+by embedding the three surfaces (mean-pooled token vectors — the same
+M8 representation the linker uses) and applying a KGE interaction
+(model/kge.py). At scale this is the refinement pass between raw
+extraction and graph materialization: rank edges per (subj, pred) and
+drop the implausible tail.
+
+Arrow-batched ``mapInPandas``; the encoder is the worker-level
+singleton; no shuffle is introduced (per-row scoring).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..model.encoder import get_encoder
+from ..model.kge import score_triples_np
+
+
+def _embed_batch(enc, texts) -> np.ndarray:
+    out = []
+    for t in texts:
+        words = [w for w in str(t).split() if w] or [str(t)]
+        v = np.mean([enc.token_embedding(w) for w in words], axis=0)
+        out.append(v / (np.linalg.norm(v) + 1e-9))
+    return np.stack(out) if out else np.zeros((0, enc.dim))
+
+
+def score_triples(
+    triples: DataFrame,
+    method: str = "transe",
+    dim: int = 64,
+    seed: int = 42,
+    subj_col: str = "subj_text",
+    pred_col: str = "pred",
+    obj_col: str = "obj_text",
+) -> DataFrame:
+    """triples → triples + ``kge_score double``."""
+    cols = triples.columns
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in triples.schema)
+    schema += ", kge_score double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = get_encoder(dim, seed)
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf):
+                h = _embed_batch(enc, pdf[subj_col])
+                r = _embed_batch(enc, pdf[pred_col])
+                t = _embed_batch(enc, pdf[obj_col])
+                out["kge_score"] = score_triples_np(h, r, t, method)
+            else:
+                out["kge_score"] = pd.Series([], dtype="float64")
+            yield out
+
+    return triples.mapInPandas(run, schema)

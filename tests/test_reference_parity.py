@@ -458,6 +458,52 @@ class TestDataProcessingParity:
                 got = [tuple(r) for r in span_idx_array(L, K)]
                 assert got == exp, (L, K)
 
+    def test_prepare_word_mask(self, ref_utils):
+        """T4 differential: mock tokenization object with word_ids()
+        drives the reference's prepare_word_mask against our port across
+        specials/continuations/skip/token-level combinations."""
+        import random as _random
+
+        from gliner_spark.kernel.wordmask import word_masks
+
+        class MockTok:
+            def __init__(self, per_seq):
+                self.per_seq = per_seq
+
+            def word_ids(self, i):
+                return self.per_seq[i]
+
+        rng = _random.Random(5)
+        cases = []
+        for _ in range(50):
+            seqs = []
+            for _s in range(rng.randint(1, 3)):
+                wids, w = [None], 0
+                for _t in range(rng.randint(0, 12)):
+                    r = rng.random()
+                    if r < 0.15:
+                        wids.append(None)
+                    elif r < 0.55:
+                        wids.append(w)  # continuation
+                    else:
+                        w += 1
+                        wids.append(w)
+                wids.append(None)
+                seqs.append(wids)
+            skips = [rng.randint(0, 3) for _ in seqs]
+            cases.append((seqs, skips))
+        texts_stub = [[["x"]] * 1]  # reference only uses len(texts)
+        for seqs, skips in cases:
+            for token_level in (False, True):
+                exp = ref_utils.prepare_word_mask(
+                    [["x"]] * len(seqs),
+                    MockTok(seqs),
+                    skip_first_words=skips,
+                    token_level=token_level,
+                )
+                got = word_masks(seqs, skips, token_level)
+                assert got == exp, (seqs, skips, token_level)
+
     def test_make_mapping(self, ref_utils):
         from gliner_spark.kernel.spans import make_mapping
 
