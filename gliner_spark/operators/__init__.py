@@ -1,5 +1,80 @@
-"""DataFrame-level operators."""
+"""DataFrame-level operators.
 
-from .extract import extract_entities, extract_triples, ENTITY_SCHEMA, TRIPLE_SCHEMA
+Import surface for every operator family (each module's docstring
+carries its scale design notes and reference citations):
 
-__all__ = ["extract_entities", "extract_triples", "ENTITY_SCHEMA", "TRIPLE_SCHEMA"]
+  extract      Arrow-batched entity/triple extraction (the KG core)
+  multitask    classification / QA / summarization / open IE / 2-pass relex
+  evaluation   join-based micro & per-label P/R/F1, relex 5-tuple, DocRED F1
+  zeroshot     CrossNER/MIT-style benchmark harness + train-mix sampler
+  linking      LSH-blocked mention linking
+  canonicalize connected components + triple rewriting
+  kge_scores   KGE triple-plausibility refinement (TransE/DistMult/...)
+  dedup        exact / SimHash / MinHash+LSH / n-gram Jaccard / cosine
+  similarity   brute-force, sign-bucketed, and KMeans-IVF top-k
+  multimodal   binary media columns: metadata, stubbed decode, frames
+"""
+
+from .canonicalize import canonical_entities, canonicalize_triples, connected_components
+from .dedup import (
+    embedding_cosine_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_table,
+)
+from .evaluation import (
+    docred_string_f1,
+    micro_prf,
+    per_label_prf,
+    relex_micro_prf,
+)
+from .extract import ENTITY_SCHEMA, TRIPLE_SCHEMA, extract_entities, extract_triples
+from .kge_scores import score_triples
+from .linking import link_mentions
+from .multimodal import decode_media, frame_sample, media_metadata
+from .multitask import (
+    answer_questions,
+    classify_documents,
+    open_extract,
+    prompt_mode_relations,
+    summarize_documents,
+)
+from .similarity import brute_force_topk, bucketed_topk, ivf_topk
+from .zeroshot import sample_train_mix, zero_shot_benchmark
+
+__all__ = [
+    "ENTITY_SCHEMA",
+    "TRIPLE_SCHEMA",
+    "answer_questions",
+    "brute_force_topk",
+    "bucketed_topk",
+    "canonical_entities",
+    "canonicalize_triples",
+    "classify_documents",
+    "connected_components",
+    "decode_media",
+    "docred_string_f1",
+    "embedding_cosine_pairs",
+    "exact_duplicates",
+    "extract_entities",
+    "extract_triples",
+    "frame_sample",
+    "ivf_topk",
+    "link_mentions",
+    "media_metadata",
+    "micro_prf",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "open_extract",
+    "per_label_prf",
+    "prompt_mode_relations",
+    "relex_micro_prf",
+    "sample_train_mix",
+    "score_triples",
+    "simhash_pairs",
+    "simhash_table",
+    "summarize_documents",
+    "zero_shot_benchmark",
+]
