@@ -177,6 +177,10 @@ def simhash_column(text: Column, bits: int = 32, ngram: int = 1) -> Column:
     """
     if bits > 62:
         raise ValueError("bits must be <= 62 to fit a signed 64-bit simhash")
+    if bits % 4 != 0:
+        # digit_pos = bits//4 - b//4 would hit substring position 0 for
+        # the top bits (empty string → -1 hex digit → corrupted votes)
+        raise ValueError("bits must be a multiple of 4 (one md5 hex digit per 4 bits)")
     words = (
         F.array_distinct(word_tokens(text)) if ngram == 1 else shingles(text, ngram)
     )

@@ -171,6 +171,7 @@ def decode_token_scores(
     flat_ner: bool = True,
     multi_label: bool = False,
     input_spans: Optional[List[Tuple[int, int]]] = None,
+    return_class_probs: bool = False,
 ) -> List[Span]:
     """Token-mode decode for one sample: (W, C) start/end/inside probs.
 
@@ -180,6 +181,12 @@ def decode_token_scores(
     {start_score, end_score}) (decoder.py:1021). Inputs are probabilities
     (already sigmoided), matching _get_indices_above_threshold
     (decoder.py:961-973).
+
+    ``return_class_probs`` attaches the top-k per-class min-rule scores
+    — min(inside[st:ed+1, c] ∪ {start[st, c], end[ed, c]}) for every
+    class c — the token-mode analog of the span decoder's D4 top-k
+    (decoder.py:159-188; the reference's TokenDecoder itself has no
+    class-probs path, so this is an additive, uniform extension).
     """
     spans: List[Span] = []
     input_set = set(input_spans) if input_spans is not None else None
@@ -196,12 +203,20 @@ def decode_token_scores(
                 score = float(
                     min(ins.min(), start_scores[st, cls_st], end_scores[ed, cls_ed])
                 )
+                cp = None
+                if return_class_probs:
+                    per_class = np.minimum(
+                        inside_scores[st : ed + 1, :].min(axis=0),
+                        np.minimum(start_scores[st, :], end_scores[ed, :]),
+                    )
+                    cp = _top_k_class_probs(per_class, id_to_class)
                 spans.append(
                     Span(
                         start=int(st),
                         end=int(ed),
                         entity_type=id_to_class[int(cls_st) + 1],
                         score=score,
+                        class_probs=cp,
                     )
                 )
     return greedy_search(spans, flat_ner, multi_label=multi_label)

@@ -95,6 +95,18 @@ class GLiNERPipeline:
         _, self.id_to_class = make_mapping(self.labels)
         _, self.rel_id_to_class = make_mapping(self.relations)
         self.gazetteer = {k.lower(): v for k, v in (gazetteer or {}).items()}
+        # Candidate widths derived from the REAL tokenizer, not
+        # whitespace split: a term like "u.s." is 1 split-word but 4
+        # regex tokens, so len(term.split())-1 would skip the only
+        # width that can match it (silent recall loss). Width = number
+        # of word tokens - 1 under the same splitter the documents get.
+        self._gaz_widths = sorted(
+            {
+                len(toks) - 1
+                for term in self.gazetteer
+                if (toks := tokenize_with_offsets(term)[0])
+            }
+        )
         self.patterns = {
             (h, r, t) for (h, r, t) in (patterns or []) if r in self.relations
         }
@@ -166,10 +178,10 @@ class GLiNERPipeline:
         L, K, _C = probs.shape
         n = len(starts)
         # Only span widths that can match a gazetteer term need scanning
-        # (a k-word surface only matches k-word terms) — typically 1-2
-        # widths instead of all K.
-        widths = {len(term.split()) - 1 for term in self.gazetteer}
-        for k in sorted(w for w in widths if 0 <= w < K):
+        # (a k-token surface only matches k-token terms) — typically 1-2
+        # widths instead of all K. Widths come from the real tokenizer
+        # (computed once in __init__), so punctuated terms still match.
+        for k in (w for w in self._gaz_widths if 0 <= w < K):
             for s in range(min(L, n - k)):
                 surface = text[starts[s]: ends[s + k]].lower()
                 label = self.gazetteer.get(surface)
@@ -215,7 +227,15 @@ class GLiNERPipeline:
                 if cs in start_map and ce in end_map  # silent drop (P6)
             ]
         if self.config.mode == "token":
-            return self._predict_entities_token(tokens, text, starts, ends, thr)
+            return self._predict_entities_token(
+                tokens,
+                text,
+                starts,
+                ends,
+                thr,
+                input_spans=word_spans,
+                return_class_probs=return_class_probs,
+            )
         probs, _ = self._score_spans(tokens)
         probs = self._apply_gazetteer(probs, text, starts, ends)
         spans = decode_span_probs(
@@ -230,9 +250,25 @@ class GLiNERPipeline:
         )
         return map_spans_to_char(spans, text, starts, ends)
 
-    def _predict_entities_token(self, tokens, text, starts, ends, thr):
+    def _predict_entities_token(
+        self,
+        tokens,
+        text,
+        starts,
+        ends,
+        thr,
+        input_spans=None,
+        return_class_probs=False,
+    ):
         """Token-mode path: (W,C,3) start/end/inside probabilities →
-        span assembly with the min-score rule (decoder.py:975-1028)."""
+        span assembly with the min-score rule (decoder.py:975-1028).
+
+        ``input_spans`` are WORD spans (already converted by the caller)
+        and restrict decoding exactly like span mode (D9).
+        ``return_class_probs`` attaches per-class min-rule span scores —
+        the token-mode analog of D4 (the reference's TokenDecoder has no
+        top-k path of its own; this extends the contract uniformly).
+        """
         from ..kernel.decoding import decode_token_scores
 
         token_embs = self.encoder.embed_tokens(tokens)
@@ -246,6 +282,8 @@ class GLiNERPipeline:
             threshold=thr,
             flat_ner=self.config.flat_ner,
             multi_label=self.config.multi_label,
+            input_spans=input_spans,
+            return_class_probs=return_class_probs,
         )
         return map_spans_to_char(spans, text, starts, ends)
 
@@ -340,7 +378,12 @@ class GLiNERPipeline:
                     near = gap_mat[pairs[:, 0], pairs[:, 1]] <= maxd
                     rel_pos = {r: c for c, r in enumerate(self.relations)}
                     for h, r, t in self.patterns:
-                        c = rel_pos[r]
+                        c = rel_pos.get(r)
+                        if c is None:
+                            # pattern names an unknown relation: ignore
+                            # (matches the pre-vectorization behavior —
+                            # never KeyError inside the executor UDF)
+                            continue
                         mask = near & (hl == h) & (tl == t)
                         rel_probs[mask, c] = np.maximum(rel_probs[mask, c], 0.93)
 

@@ -228,6 +228,12 @@ def simhash_table(
     ``functions.text.simhash_column`` (zero-shuffle) remains for
     narrow-pipeline use.
     """
+    if bits > 62:
+        raise ValueError("bits must be <= 62 to fit a signed 64-bit simhash")
+    if bits % 4 != 0:
+        # same guard as functions.text.simhash_column: non-multiples of
+        # 4 make digit_pos reach 0 for the top bits and corrupt votes
+        raise ValueError("bits must be a multiple of 4 (one md5 hex digit per 4 bits)")
     feats = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -310,6 +316,8 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     vectorized: bool = True,
+    chunks: int = 8,
+    broadcast_corpus: bool = False,
 ) -> DataFrame:
     """Semantic near-dup pairs by embedding cosine ≥ threshold.
 
@@ -321,17 +329,26 @@ def embedding_cosine_pairs(
     * ``block_col`` — equi-join per blocking key (LSH sign bucket,
       cluster id): THE 100 TB path; candidate work ∝ bucket sizes.
     * ``vectorized`` (default, no block) — exact all-pairs via a
-      broadcast of the L2-normalized corpus matrix into ``mapInPandas``
-      and one BLAS matmul per Arrow batch. ~50× faster than the
-      expression fallback (a matmul vs 2·n² interpreted lambda folds).
-      Valid while n_vectors × dim fits executor memory (≲10⁷ × 64);
-      beyond that, block first.
+      CHUNKED block-nested-loop: rows hash into ``chunks`` buckets,
+      every (ci ≤ cj) bucket pair becomes one ``applyInPandas`` task
+      doing a single BLAS matmul. Fully distributed — per-task memory
+      is 2·(n/chunks)·dim, NO driver-side collect of the corpus, and
+      the shuffle volume is (chunks+1)·n vectors. Exact all-pairs is
+      inherently O(n²) compute; above ~10⁷ rows use ``block_col`` (LSH
+      sign buckets) for the sub-quadratic scale path.
+    * ``broadcast_corpus=True`` (opt-in) — old small-corpus shortcut:
+      broadcast the whole L2-normalized matrix and matmul each Arrow
+      batch against it. Zero shuffle but collects the corpus to the
+      driver; ONLY for n_vectors × dim that comfortably fits driver and
+      executor memory (≲10⁶ × 64).
     * expression fallback (``vectorized=False``) — pure built-in
       crossJoin + zip_with/aggregate; the slow-but-dependency-free
       correctness baseline the others are tested against.
     """
     if block_col is None and vectorized:
-        return _cosine_pairs_vectorized(df, threshold, id_col, vec_col)
+        if broadcast_corpus:
+            return _cosine_pairs_vectorized(df, threshold, id_col, vec_col)
+        return _cosine_pairs_chunked(df, threshold, id_col, vec_col, chunks)
     cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("_blk"))
@@ -351,26 +368,102 @@ def embedding_cosine_pairs(
     )
 
 
+def _pair_schema(df: DataFrame, id_col: str) -> str:
+    """Output schema with id_a/id_b typed like the source id column
+    (string doc ids survive every route, not just the blocked one)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    return f"id_a {id_type}, id_b {id_type}"
+
+
+def _norm_matrix(values) -> "object":
+    import numpy as np
+
+    mat = np.stack(list(values)).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+    return mat
+
+
+def _cosine_pairs_chunked(
+    df: DataFrame, threshold: float, id_col: str, vec_col: str, chunks: int
+) -> DataFrame:
+    """Exact all-pairs cosine, distributed: chunked block-nested-loop.
+
+    Rows hash into ``chunks`` buckets by id; each unordered bucket pair
+    (ci ≤ cj) is one ``applyInPandas`` group that matmuls chunk ci
+    against chunk cj and emits (min(id), max(id)) for sims ≥ threshold.
+    Every unordered row pair lands in exactly one group, so no DISTINCT
+    is needed. Work is the same O(n²·dim) flops exactness requires, but
+    spread over chunks·(chunks+1)/2 tasks with bounded memory — the
+    default route never collects the corpus to the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = _pair_schema(df, id_col)
+    thr = float(threshold)
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(chunks)).cast("int").alias("_ck"),
+    )
+    spark = df.sparkSession
+    chunk_pairs = spark.createDataFrame(
+        [(ci, cj) for ci in range(chunks) for cj in range(ci, chunks)],
+        "ci int, cj int",
+    )
+    # Replicate each row into every group where its chunk is a side:
+    # as side a when _ck == ci, as side b when _ck == cj. A row goes to
+    # (chunks + 1) groups total — the shuffle is linear in n.
+    a_side = rows.join(F.broadcast(chunk_pairs), rows["_ck"] == chunk_pairs["ci"]).select(
+        "ci", "cj", F.lit(0).alias("_side"), "_id", "_v"
+    )
+    b_side = rows.join(F.broadcast(chunk_pairs), rows["_ck"] == chunk_pairs["cj"]).select(
+        "ci", "cj", F.lit(1).alias("_side"), "_id", "_v"
+    )
+    both = a_side.unionByName(b_side)
+
+    def compute(key, pdf):
+        ci, cj = key  # noqa: F841 — group key, kept for debuggability
+        part_a = pdf[pdf["_side"] == 0]
+        part_b = pdf[pdf["_side"] == 1]
+        if len(part_a) == 0 or len(part_b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids_a = part_a["_id"].to_numpy()
+        ids_b = part_b["_id"].to_numpy()
+        sims = _norm_matrix(part_a["_v"]) @ _norm_matrix(part_b["_v"]).T
+        ii, jj = np.nonzero(sims >= thr)
+        left, right = ids_a[ii], ids_b[jj]
+        keep = left != right  # drops self-pairs in diagonal groups
+        left, right = left[keep], right[keep]
+        lt = left < right
+        return pd.DataFrame(
+            {"id_a": np.where(lt, left, right), "id_b": np.where(lt, right, left)}
+        ).drop_duplicates()  # diagonal group sees (x,y) and (y,x) once each
+
+    return both.groupBy("ci", "cj").applyInPandas(compute, schema)
+
+
 def _cosine_pairs_vectorized(
     df: DataFrame, threshold: float, id_col: str, vec_col: str
 ) -> DataFrame:
     """Exact all-pairs cosine via broadcast matrix + per-batch matmul.
 
-    The corpus (ids + L2-normalized float64 vectors) is broadcast once;
-    each Arrow batch of rows computes chunk @ corpus.T and emits
-    (id_a, id_b), a < b, for sims ≥ threshold. No shuffle at all — the
-    only data movement is the one broadcast.
+    OPT-IN small-corpus shortcut (``broadcast_corpus=True``): collects
+    the corpus (ids + L2-normalized float64 vectors) to the DRIVER and
+    broadcasts it; each Arrow batch computes chunk @ corpus.T and emits
+    (id_a, id_b), a < b, for sims ≥ threshold. Zero shuffle, but driver
+    memory bounds it to ~10⁶×64 — the chunked route is the default.
     """
     import numpy as np
     import pandas as pd
     from typing import Iterator
 
+    schema = _pair_schema(df, id_col)
     pdf = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
     if len(pdf) == 0:
-        return df.sparkSession.createDataFrame([], "id_a long, id_b long")
+        return df.sparkSession.createDataFrame([], schema)
     ids = pdf["_id"].to_numpy()
-    mat = np.stack(pdf["_v"].to_list()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+    mat = _norm_matrix(pdf["_v"])
     bc = df.sparkSession.sparkContext.broadcast((ids, mat))
     thr = float(threshold)
 
@@ -380,9 +473,7 @@ def _cosine_pairs_vectorized(
             if len(chunk) == 0:
                 continue
             cids = chunk["_id"].to_numpy()
-            cmat = np.stack(chunk["_v"].to_list()).astype(np.float64)
-            cmat /= np.linalg.norm(cmat, axis=1, keepdims=True) + 1e-12
-            sims = cmat @ all_mat.T
+            sims = _norm_matrix(chunk["_v"]) @ all_mat.T
             rows_i, cols_j = np.nonzero(sims >= thr)
             keep = cids[rows_i] < all_ids[cols_j]  # a < b, excludes self
             yield pd.DataFrame(
@@ -391,5 +482,5 @@ def _cosine_pairs_vectorized(
 
     return (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .mapInPandas(run, "id_a long, id_b long")
+        .mapInPandas(run, schema)
     )

@@ -64,7 +64,18 @@ def _ensure_parallelism(df: DataFrame, min_partitions: Optional[int]) -> DataFra
     if min_partitions == 0:
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if min_partitions:
+        # Caller pinned a target: repartition unconditionally (no probe).
+        return df.repartition(target)
+    # Default heuristic without converting the plan to an RDD (the old
+    # df.rdd.getNumPartitions() probe forced a plan→RDD translation per
+    # operator call): count the scan's input files. A small/compacted
+    # parquet source shows fewer files than cores → fan out. Non-file
+    # sources (in-memory test frames) report zero files and are small by
+    # construction → fan out too. A 100 TB scan reports ≥ target files
+    # and this stays a no-op.
+    n_files = len(df.inputFiles())
+    if n_files < target:
         return df.repartition(target)
     return df
 

@@ -57,15 +57,22 @@ def classify_documents(
 ) -> DataFrame:
     """Zero-shot classification: best class(es) per document.
 
-    Mirrors the reference's recipe (classification prompt + classes as
-    entity labels, multitask/classification.py:38,168): span×class
-    scores are aggregated per document; single-label mode keeps the
-    argmax class, multi-label keeps every class whose best span clears
-    the threshold.
+    Mirrors the reference's recipe: the classification prompt
+    ``"Classify text into the following classes: {…}"`` is prepended to
+    the document exactly as ``prepare_texts`` does
+    (multitask/classification.py:38,168 — ``f"{prompt} \\n {text}"``),
+    classes run as entity labels, and span×class scores are aggregated
+    per document (``process_predictions`` keeps labels+scores only, so
+    no offset shift-back is needed). Single-label mode keeps the argmax
+    class, multi-label keeps every class whose best span clears the
+    threshold.
     """
     classes = list(classes)
     cfg = dict(threshold=threshold, flat_ner=False, multi_label=True)
     cfg.update(cfg_kwargs)
+    prompt_prefix = (
+        "Classify text into the following classes: " + ", ".join(classes) + " \n "
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pipe = _get_pipeline(classes, [], cfg, gazetteer=gazetteer)
@@ -73,7 +80,7 @@ def classify_documents(
             rows = []
             for url, text in zip(pdf[url_col], pdf[text_col]):
                 best: dict = {}
-                for e in pipe.predict_entities(text, "en"):
+                for e in pipe.predict_entities(prompt_prefix + (text or ""), "en"):
                     cur = best.get(e["label"])
                     if cur is None or e["score"] > cur:
                         best[e["label"]] = e["score"]

@@ -159,15 +159,16 @@ def ivf_topk(
         from pyspark.sql.functions import pandas_udf
 
         def cells(v):
+            # One matmul per Arrow batch, no per-row Python loop:
+            # ||x-c||² = ||x||² - 2·x·c + ||c||² (the ||x||² term is
+            # constant per row and drops out of the argsort).
             C = bc_centers.value
-            out = []
-            for vec in v:
-                x = np.asarray(vec, dtype=np.float64)
-                d = ((C - x) ** 2).sum(axis=1)
-                out.append(
-                    np.argsort(d, kind="stable")[:n_cells].astype("int32").tolist()
-                )
-            return pandas_mod.Series(out)
+            if len(v) == 0:
+                return pandas_mod.Series([], dtype=object)
+            X = np.stack(v.to_list()).astype(np.float64)  # (n, dim)
+            d = (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)  # (n, n_centroids)
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_cells].astype("int32")
+            return pandas_mod.Series(list(order.tolist()))
 
         cells.__annotations__ = {
             "v": pandas_mod.Series, "return": pandas_mod.Series

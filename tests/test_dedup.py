@@ -138,3 +138,88 @@ class TestEmbeddingCosine:
             for r in embedding_cosine_pairs(vecs, threshold=0.9).collect()
         }
         assert got <= full
+
+
+class TestEmbeddingCosineRoutes:
+    """Round-2 regressions: the default route is distributed (chunked),
+    id types survive every route, and simhash guards bits % 4."""
+
+    @pytest.fixture(scope="class")
+    def many_vecs(self, spark):
+        # 40 vectors in 4D with a few engineered near-dup clusters,
+        # spread over more rows than chunks so the chunked route
+        # exercises diagonal AND off-diagonal groups.
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(30):
+            v = rng.standard_normal(4)
+            v /= np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v]))
+        for j, base in enumerate([0, 5, 9]):  # near dups of 3 existing rows
+            v = np.array(rows[base][1]) + 0.02 * rng.standard_normal(4)
+            v /= np.linalg.norm(v)
+            rows.append((100 + j, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_chunked_matches_expression_fallback(self, many_vecs):
+        chunked = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(many_vecs, threshold=0.9, chunks=4).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(
+                many_vecs, threshold=0.9, vectorized=False
+            ).collect()
+        }
+        assert chunked == exact
+        assert {(0, 100), (5, 101), (9, 102)} <= chunked
+
+    def test_broadcast_optin_matches_chunked(self, many_vecs):
+        bcast = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(
+                many_vecs, threshold=0.9, broadcast_corpus=True
+            ).collect()
+        }
+        chunked = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(many_vecs, threshold=0.9, chunks=3).collect()
+        }
+        assert bcast == chunked
+
+    def test_string_ids_all_routes(self, spark):
+        rows = [
+            ("docA", [1.0, 0.0, 0.0, 0.0]),
+            ("docB", [0.999, 0.04, 0.0, 0.0]),
+            ("docC", [0.0, 1.0, 0.0, 0.0]),
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+        for kwargs in ({}, {"broadcast_corpus": True}, {"vectorized": False}):
+            out = embedding_cosine_pairs(vecs, threshold=0.9, **kwargs)
+            assert dict(out.dtypes)["id_a"] == "string"
+            assert {(r.id_a, r.id_b) for r in out.collect()} == {("docA", "docB")}
+
+    def test_no_driver_collect_on_default_route(self, many_vecs, monkeypatch):
+        # The default route must never call DataFrame.toPandas (the old
+        # driver-OOM path). Patch it to explode if touched.
+        from pyspark.sql import DataFrame as SparkDF
+
+        def boom(self):  # pragma: no cover - should never run
+            raise AssertionError("default route collected the corpus to the driver")
+
+        monkeypatch.setattr(SparkDF, "toPandas", boom)
+        n = embedding_cosine_pairs(many_vecs, threshold=0.9).count()
+        assert n >= 3
+
+    def test_simhash_bits_guard(self, spark):
+        from gliner_spark.functions.text import simhash_column
+        from gliner_spark.operators.dedup import simhash_table
+
+        with pytest.raises(ValueError, match="multiple of 4"):
+            simhash_column(F.col("text"), bits=61)
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="multiple of 4"):
+            simhash_table(docs, bits=62)

@@ -89,3 +89,70 @@ class TestRelex:
         # guards against degenerate all-or-nothing scoring.
         ents = pipe.predict_entities(TEXT)
         assert 0 < len(ents) < 40
+
+
+class TestGazetteerTokenizedWidths:
+    """Round-2 regression (ADVICE): gazetteer candidate widths must come
+    from the REAL tokenizer, not whitespace split — terms with internal
+    punctuation ('u.s.', 'at&t') span multiple regex tokens."""
+
+    def test_punctuated_term_matches(self):
+        pipe = GLiNERPipeline(
+            ["org"],
+            config=PipelineConfig(scoring="gazetteer"),
+            gazetteer={"at&t": "org", "u.s.": "org"},
+        )
+        ents = pipe.predict_entities("call AT&T in the U.S. today")
+        got = {(e["text"].lower(), e["label"]) for e in ents}
+        assert ("at&t", "org") in got
+        assert ("u.s.", "org") in got
+
+    def test_plain_terms_still_match(self):
+        pipe = GLiNERPipeline(
+            ["actor"],
+            config=PipelineConfig(scoring="gazetteer"),
+            gazetteer={"customer": "actor", "big table": "actor"},
+        )
+        ents = pipe.predict_entities("the customer saw a big table")
+        got = {e["text"] for e in ents}
+        assert {"customer", "big table"} <= got
+
+
+class TestTokenModeArgThreading:
+    """Round-2 regression (ADVICE): token mode must honor input_spans
+    (D9) and return_class_probs instead of silently dropping them."""
+
+    def _find_token_span(self, pipe, text):
+        ents = pipe.predict_entities(text, threshold=0.3)
+        assert ents, "need at least one token-mode span for the fixture"
+        return ents
+
+    def test_input_spans_restricts_token_mode(self):
+        pipe = GLiNERPipeline(
+            ["thing", "place"], config=PipelineConfig(mode="token")
+        )
+        text = "alpha beta gamma delta epsilon zeta"
+        ents = self._find_token_span(pipe, text)
+        target = ents[0]
+        only = pipe.predict_entities(
+            text, threshold=0.3, input_spans=[(target["start"], target["end"])]
+        )
+        assert all(
+            (e["start"], e["end"]) == (target["start"], target["end"]) for e in only
+        )
+        assert any(
+            (e["start"], e["end"]) == (target["start"], target["end"]) for e in only
+        )
+        # a restriction to an empty span list decodes nothing
+        assert pipe.predict_entities(text, threshold=0.3, input_spans=[]) == []
+
+    def test_return_class_probs_token_mode(self):
+        pipe = GLiNERPipeline(
+            ["thing", "place"], config=PipelineConfig(mode="token")
+        )
+        text = "alpha beta gamma delta epsilon zeta"
+        ents = pipe.predict_entities(text, threshold=0.3, return_class_probs=True)
+        assert ents
+        for e in ents:
+            assert e.get("class_probs"), "token mode must attach class_probs"
+            assert all(0.0 <= v <= 1.0 for v in e["class_probs"].values())
