@@ -191,6 +191,36 @@ def q_kg_entities_tokenmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
 
 
+def q_kg_entities_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION backend path: full ONNX contract (T1 prompt → T3
+    subword tokenize → T4 word masks → span grid feed → session.run →
+    decode) over the contract-faithful fake session — rows-only check
+    (session weights are hash-seeded, not SQL-expressible)."""
+    from gliner_spark.model.ort_testing import fake_span_encoder_factory
+
+    ents = extract_entities(
+        _pages(spark, sf_dir), labels=ENT_LABELS, threshold=0.5, lang_col=None,
+        encoder_factory=fake_span_encoder_factory,
+    )
+    return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
+
+
+def q_kg_triples_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint relex through the ONNX relex graph contract (4-output
+    session: logits/rel_idx/rel_logits/rel_mask) — rows-only check."""
+    from gliner_spark.model.ort_testing import fake_relex_encoder_factory
+
+    t = extract_triples(
+        _pages(spark, sf_dir),
+        labels=ENT_LABELS,
+        relations=RELATIONS,
+        threshold=0.5,
+        lang_col=None,
+        encoder_factory=fake_relex_encoder_factory,
+    )
+    return _as_doc_id(t).select("doc_id", "subj_text", "pred", "obj_text", "score")
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = extract_triples(
         _pages(spark, sf_dir),
@@ -474,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gazetteer_entities": q_kg_gazetteer_entities,
         "kg_entities_zeroshot": q_kg_entities_zeroshot,
         "kg_entities_tokenmode": q_kg_entities_tokenmode,
+        "kg_entities_onnx": q_kg_entities_onnx,
+        "kg_triples_onnx": q_kg_triples_onnx,
         "kg_triples": q_kg_triples,
         "kg_triples_zeroshot": q_kg_triples_zeroshot,
         "kg_linking_exact": q_kg_linking_exact,

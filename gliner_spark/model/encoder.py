@@ -230,37 +230,15 @@ class DeterministicEncoder:
         return (_mm(pair, rel_embs.T) - self.margin) / self.temperature
 
 
-class OnnxEncoder:
-    """Production backend: executor-singleton onnxruntime session.
+def __getattr__(name):
+    """Back-compat: ``OnnxEncoder`` moved to model/onnx_backend.py as the
+    code-complete :class:`OnnxSpanEncoder` (full feed construction +
+    session.run + logits plumbing); lazy import avoids a cycle."""
+    if name == "OnnxEncoder":
+        from .onnx_backend import OnnxSpanEncoder
 
-    Loads an exported GLiNER ONNX graph (gliner/model.py:855-919 export,
-    670-685 ORT session with ORT_ENABLE_ALL graph optimization). The
-    session is created lazily once per Python worker process — the
-    executor-singleton pattern — and shared across Arrow batches.
-
-    onnxruntime is not installed in this sandbox, so instantiation
-    raises with guidance; the rest of the pipeline is backend-agnostic.
-    """
-
-    _session = None
-
-    def __init__(self, model_path: str, providers: Optional[List[str]] = None):
-        try:
-            import onnxruntime as ort  # type: ignore
-        except ImportError as e:  # pragma: no cover - environment-dependent
-            raise NotImplementedError(
-                "OnnxEncoder requires onnxruntime, which is not available in "
-                "this environment. Use DeterministicEncoder, or install "
-                "onnxruntime and ship the exported model via "
-                "spark-submit --files."
-            ) from e
-        if OnnxEncoder._session is None:  # pragma: no cover
-            opts = ort.SessionOptions()
-            opts.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_ALL
-            OnnxEncoder._session = ort.InferenceSession(
-                model_path, opts, providers=providers or ["CPUExecutionProvider"]
-            )
-        self.session = OnnxEncoder._session
+        return OnnxSpanEncoder
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 _ENCODER_SINGLETON: Optional[DeterministicEncoder] = None

@@ -62,6 +62,11 @@ class PipelineConfig:
     # dependency-lite proximity: a predicate pattern only fires when the
     # head and tail spans are within this many words of each other.
     max_pattern_distance: int = 10
+    # Documents per model forward on the batched path (the reference's
+    # inference DataLoader default, gliner/model.py:1391). Only the
+    # ONNX-session backend truly batches; the deterministic analog is
+    # per-document either way.
+    batch_size: int = 8
 
 
 class GLiNERPipeline:
@@ -111,13 +116,29 @@ class GLiNERPipeline:
             (h, r, t) for (h, r, t) in (patterns or []) if r in self.relations
         }
         self._label_pos = {lab: i for i, lab in enumerate(self.labels)}
-        # Bi-encoder style precompute: label embeddings once per job
-        # (gliner/model.py:1627-1656). In Spark these live inside the
-        # broadcast pipeline object.
-        self.label_embs = self.encoder.embed_labels(self.labels)
-        self.rel_embs = (
-            self.encoder.embed_labels(self.relations) if self.relations else None
-        )
+        # ONNX-session backends (model/onnx_backend.OnnxSpanEncoder /
+        # OnnxRelexEncoder) score whole batches through session.run and
+        # embed labels inside the graph via the <<ENT>> prompt — the
+        # uni-encoder architecture. The deterministic analog exposes
+        # embed_labels for the bi-encoder-style driver precompute.
+        self.is_session_backend = hasattr(self.encoder, "span_probs")
+        if self.is_session_backend:
+            self.label_embs = None
+            self.rel_embs = None
+            if self.relations and not getattr(self.encoder, "supports_relations", False):
+                raise ValueError(
+                    "relations require a relex-capable backend "
+                    "(OnnxRelexEncoder / DeterministicEncoder), got a "
+                    "span-only session encoder"
+                )
+        else:
+            # Bi-encoder style precompute: label embeddings once per job
+            # (gliner/model.py:1627-1656). In Spark these live inside the
+            # broadcast pipeline object.
+            self.label_embs = self.encoder.embed_labels(self.labels)
+            self.rel_embs = (
+                self.encoder.embed_labels(self.relations) if self.relations else None
+            )
 
     # ------------------------------------------------------------------
     def _prepare(self, text: str, lang: str):
@@ -140,6 +161,12 @@ class GLiNERPipeline:
         """
         L = len(tokens)
         K = self.config.max_width
+        if self.is_session_backend and self.config.scoring != "gazetteer":
+            # ONNX route: prompt construction, subword tokenization,
+            # word masks and the span grid all happen inside
+            # build_span_feed; logits come back (L, K, C).
+            probs = self.encoder.span_probs([tokens], self.labels)[0]
+            return probs, np.zeros((L * K, 0))
         # Structural parity: the prompt exists on the real-model path.
         _prompted, _plen = build_entity_prompt(tokens, self.labels)
         sidx = span_idx_array(L, K)
@@ -217,15 +244,7 @@ class GLiNERPipeline:
         tokens, starts, ends = self._prepare(text, lang)
         if not tokens:
             return []
-        word_spans = None
-        if input_spans is not None:
-            start_map = {cs: i for i, cs in enumerate(starts)}
-            end_map = {ce: i for i, ce in enumerate(ends)}
-            word_spans = [
-                (start_map[cs], end_map[ce])
-                for cs, ce in input_spans
-                if cs in start_map and ce in end_map  # silent drop (P6)
-            ]
+        word_spans = self._to_word_spans(input_spans, starts, ends)
         if self.config.mode == "token":
             return self._predict_entities_token(
                 tokens,
@@ -250,6 +269,89 @@ class GLiNERPipeline:
         )
         return map_spans_to_char(spans, text, starts, ends)
 
+    @staticmethod
+    def _to_word_spans(input_spans, starts, ends):
+        """CHAR spans → WORD spans via exact-boundary reverse maps,
+        silently dropping non-aligned spans (P6, model.py:1243-1279)."""
+        if input_spans is None:
+            return None
+        start_map = {cs: i for i, cs in enumerate(starts)}
+        end_map = {ce: i for i, ce in enumerate(ends)}
+        return [
+            (start_map[cs], end_map[ce])
+            for cs, ce in input_spans
+            if cs in start_map and ce in end_map  # silent drop (P6)
+        ]
+
+    def predict_entities_batch(
+        self,
+        texts: Sequence[str],
+        langs: Optional[Sequence[str]] = None,
+        threshold: Optional[float] = None,
+        input_spans_list: Optional[Sequence] = None,
+        return_class_probs: bool = False,
+    ) -> List[List[Dict[str, Any]]]:
+        """Batched prediction — the ``_process_batches`` analog
+        (gliner/model.py:1333-1381).
+
+        Session (ONNX) backends run ONE ``session.run`` per sub-batch of
+        ``config.batch_size`` documents, with documents length-sorted
+        first so each padded batch is length-homogeneous (the cheap 80%
+        of the reference's packing win, infer_packing.py:164-208; see
+        also plans/packing for the full block-diagonal variant). Output
+        order follows the input order and is identical to per-document
+        ``predict_entities`` calls.
+        """
+        n = len(texts)
+        lang_list = list(langs) if langs is not None else ["en"] * n
+        spans_list = (
+            list(input_spans_list) if input_spans_list is not None else [None] * n
+        )
+        batched = (
+            self.is_session_backend
+            and self.config.scoring != "gazetteer"
+            and self.config.mode == "span"
+        )
+        if not batched:
+            return [
+                self.predict_entities(
+                    t,
+                    lg or "en",
+                    threshold=threshold,
+                    input_spans=sp,
+                    return_class_probs=return_class_probs,
+                )
+                for t, lg, sp in zip(texts, lang_list, spans_list)
+            ]
+        thr = self.config.threshold if threshold is None else threshold
+        prepared = []  # (orig_idx, tokens, starts, ends)
+        for i, (t, lg) in enumerate(zip(texts, lang_list)):
+            if isinstance(t, str) and t.strip():
+                tokens, starts, ends = self._prepare(t, lg or "en")
+                if tokens:
+                    prepared.append((i, tokens, starts, ends))
+        results: List[List[Dict[str, Any]]] = [[] for _ in range(n)]
+        order = sorted(range(len(prepared)), key=lambda j: -len(prepared[j][1]))
+        bs = max(1, self.config.batch_size)
+        for at in range(0, len(order), bs):
+            chunk = [prepared[j] for j in order[at : at + bs]]
+            probs_list = self.encoder.span_probs([c[1] for c in chunk], self.labels)
+            for (i, tokens, starts, ends), probs in zip(chunk, probs_list):
+                text = texts[i]
+                probs = self._apply_gazetteer(probs, text, starts, ends)
+                spans = decode_span_probs(
+                    probs,
+                    tokens,
+                    self.id_to_class,
+                    threshold=thr,
+                    flat_ner=self.config.flat_ner,
+                    multi_label=self.config.multi_label,
+                    return_class_probs=return_class_probs,
+                    input_spans=self._to_word_spans(spans_list[i], starts, ends),
+                )
+                results[i] = map_spans_to_char(spans, text, starts, ends)
+        return results
+
     def _predict_entities_token(
         self,
         tokens,
@@ -271,6 +373,12 @@ class GLiNERPipeline:
         """
         from ..kernel.decoding import decode_token_scores
 
+        if not hasattr(self.encoder, "token_label_scores"):
+            raise ValueError(
+                "token mode needs a token-scoring backend (DeterministicEncoder); "
+                "a span-mode ONNX session cannot produce (W,C,3) start/end/inside "
+                "scores — export the token-mode graph (gliner/model.py:1941-1989)"
+            )
         token_embs = self.encoder.embed_tokens(tokens)
         logits = self.encoder.token_label_scores(token_embs, self.label_embs)
         probs = sigmoid(logits)  # (W, C, 3)
@@ -317,6 +425,10 @@ class GLiNERPipeline:
         tokens, starts, ends = self._prepare(text, lang)
         if not tokens:
             return [], []
+        if self.is_session_backend and self.config.scoring != "gazetteer":
+            return self._predict_triples_session(
+                tokens, text, starts, ends, thr, rel_thr
+            )
         _prompted, _plen = build_relex_prompt(tokens, self.labels, self.relations)
 
         probs, span_reps = self._score_spans(tokens)
@@ -402,3 +514,91 @@ class GLiNERPipeline:
         entities = map_spans_to_char(spans, text, starts, ends)
         relations = format_relations(rel_tuples, spans, text, starts, ends)
         return entities, relations
+
+    def _predict_triples_session(self, tokens, text, starts, ends, thr, rel_thr):
+        """ONNX relex route: the graph itself runs confident-span
+        selection, adjacency and pair scoring (export wrapper,
+        gliner/model.py:2871-2900); here we only decode its four
+        outputs, preserving the pre-greedy/post-greedy index-alignment
+        quirk (decoder.py:822). The in-graph selection threshold is the
+        export default (the exported forward signature takes no
+        threshold input), matching the reference's ONNX reality.
+        """
+        probs, rel_idx, rel_probs = self.encoder.relex_outputs(
+            [tokens], self.labels, self.relations
+        )[0]
+        probs = self._apply_gazetteer(probs, text, starts, ends)
+        spans = decode_span_probs(
+            probs,
+            tokens,
+            self.id_to_class,
+            threshold=thr,
+            flat_ner=self.config.flat_ner,
+            multi_label=self.config.multi_label,
+        )
+        rel_tuples = decode_relations(
+            spans, rel_idx, rel_probs, None, self.rel_id_to_class, threshold=rel_thr
+        )
+        entities = map_spans_to_char(spans, text, starts, ends)
+        relations = format_relations(rel_tuples, spans, text, starts, ends)
+        return entities, relations
+
+    def predict_triples_batch(
+        self,
+        texts: Sequence[str],
+        langs: Optional[Sequence[str]] = None,
+        threshold: Optional[float] = None,
+    ) -> List[Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]]:
+        """Batched triples — one ``session.run`` per length-sorted
+        sub-batch on relex session backends, per-doc otherwise."""
+        n = len(texts)
+        lang_list = list(langs) if langs is not None else ["en"] * n
+        batched = (
+            self.is_session_backend
+            and self.config.scoring != "gazetteer"
+            and getattr(self.encoder, "supports_relations", False)
+        )
+        if not batched:
+            return [
+                self.predict_triples(t, lg or "en", threshold=threshold)
+                for t, lg in zip(texts, lang_list)
+            ]
+        cfg = self.config
+        thr = cfg.threshold if threshold is None else threshold
+        rel_thr = cfg.relation_threshold if cfg.relation_threshold is not None else thr
+        prepared = []
+        for i, (t, lg) in enumerate(zip(texts, lang_list)):
+            if isinstance(t, str) and t.strip():
+                tokens, starts, ends = self._prepare(t, lg or "en")
+                if tokens:
+                    prepared.append((i, tokens, starts, ends))
+        results: List[Tuple[list, list]] = [([], []) for _ in range(n)]
+        order = sorted(range(len(prepared)), key=lambda j: -len(prepared[j][1]))
+        bs = max(1, self.config.batch_size)
+        for at in range(0, len(order), bs):
+            chunk = [prepared[j] for j in order[at : at + bs]]
+            outs = self.encoder.relex_outputs(
+                [c[1] for c in chunk], self.labels, self.relations
+            )
+            for (i, tokens, starts, ends), (probs, rel_idx, rel_probs) in zip(
+                chunk, outs
+            ):
+                text = texts[i]
+                probs = self._apply_gazetteer(probs, text, starts, ends)
+                spans = decode_span_probs(
+                    probs,
+                    tokens,
+                    self.id_to_class,
+                    threshold=thr,
+                    flat_ner=cfg.flat_ner,
+                    multi_label=cfg.multi_label,
+                )
+                rel_tuples = decode_relations(
+                    spans, rel_idx, rel_probs, None,
+                    self.rel_id_to_class, threshold=rel_thr,
+                )
+                results[i] = (
+                    map_spans_to_char(spans, text, starts, ends),
+                    format_relations(rel_tuples, spans, text, starts, ends),
+                )
+        return results

@@ -80,14 +80,30 @@ def _ensure_parallelism(df: DataFrame, min_partitions: Optional[int]) -> DataFra
     return df
 
 
-def _get_pipeline(labels, relations, cfg_kwargs, gazetteer=None, patterns=None) -> GLiNERPipeline:
-    """Process-level pipeline singleton keyed by (labels, relations, cfg)."""
+def _get_pipeline(
+    labels, relations, cfg_kwargs, gazetteer=None, patterns=None, encoder_factory=None
+) -> GLiNERPipeline:
+    """Process-level pipeline singleton keyed by (labels, relations, cfg).
+
+    ``encoder_factory`` is a zero-arg callable returning a scoring
+    backend (e.g. ``lambda: OnnxSpanEncoder(model_path=SparkFiles.get(
+    "model.onnx"))``); it runs once per worker process per key — the
+    executor-singleton pattern, so production factories should load the
+    ORT session via the module-level session cache (onnx_backend keeps
+    one session per model path).
+    """
+    factory_key = (
+        (getattr(encoder_factory, "__module__", ""), getattr(encoder_factory, "__qualname__", repr(encoder_factory)))
+        if encoder_factory is not None
+        else None
+    )
     key = (
         tuple(labels),
         tuple(relations),
         tuple(sorted(cfg_kwargs.items())),
         tuple(sorted((gazetteer or {}).items())),
         tuple(sorted(patterns or [])),
+        factory_key,
     )
     pipe = _PIPELINE_CACHE.get(key)
     if pipe is None:
@@ -95,6 +111,7 @@ def _get_pipeline(labels, relations, cfg_kwargs, gazetteer=None, patterns=None) 
             labels,
             relations,
             PipelineConfig(**cfg_kwargs),
+            encoder=encoder_factory() if encoder_factory is not None else None,
             gazetteer=gazetteer,
             patterns=patterns,
         )
@@ -117,6 +134,7 @@ def extract_entities(
     min_partitions: Optional[int] = None,
     spans_col: Optional[str] = None,
     return_class_probs: bool = False,
+    encoder_factory=None,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages(url, text[, lang]) → entities(url, start, end, text, label, score).
@@ -130,6 +148,9 @@ def extract_entities(
     (D9), with non-token-aligned spans silently dropped (P6).
     ``return_class_probs`` appends a ``class_probs map<string,double>``
     column with the top-k class probabilities per span (D4).
+    ``encoder_factory`` selects the scoring backend per worker (e.g. an
+    ``OnnxSpanEncoder`` over a session loaded from SparkFiles); the
+    default is the deterministic analog.
     """
     labels = list(labels)
     cfg = dict(threshold=threshold, flat_ner=flat_ner, multi_label=multi_label)
@@ -145,25 +166,31 @@ def extract_entities(
         schema += ", class_probs map<string,double>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pipe = _get_pipeline(labels, [], cfg, gazetteer=gazetteer)
+        pipe = _get_pipeline(
+            labels, [], cfg, gazetteer=gazetteer, encoder_factory=encoder_factory
+        )
         for pdf in batches:
             rows: List[tuple] = []
-            langs = pdf[lang_col] if has_lang else ["en"] * len(pdf)
-            span_lists = pdf[spans_col] if spans_col is not None else [None] * len(pdf)
-            for url, text, lang, spans in zip(
-                pdf[url_col], pdf[text_col], langs, span_lists
-            ):
-                input_spans = (
+            langs = list(pdf[lang_col]) if has_lang else ["en"] * len(pdf)
+            span_lists = (
+                [
                     [(int(s["start"]), int(s["end"])) for s in spans]
                     if spans is not None
                     else None
-                )
-                for e in pipe.predict_entities(
-                    text,
-                    lang or "en",
-                    input_spans=input_spans,
-                    return_class_probs=return_class_probs,
-                ):
+                    for spans in pdf[spans_col]
+                ]
+                if spans_col is not None
+                else None
+            )
+            urls = list(pdf[url_col])
+            per_doc = pipe.predict_entities_batch(
+                list(pdf[text_col]),
+                langs,
+                input_spans_list=span_lists,
+                return_class_probs=return_class_probs,
+            )
+            for url, ents in zip(urls, per_doc):
+                for e in ents:
                     row = (
                         url, e["start"], e["end"], e["text"], e["label"],
                         float(e["score"]),
@@ -192,6 +219,7 @@ def extract_triples(
     gazetteer: Optional[dict] = None,
     patterns: Optional[Sequence] = None,
     min_partitions: Optional[int] = None,
+    encoder_factory=None,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages → triples(url, subj_*, pred, obj_*, score).
@@ -199,6 +227,8 @@ def extract_triples(
     The joint relex route (SURVEY.md §3.2): entity scoring → confident-
     span selection → adjacency → pair scoring → relation decode with
     the reference's post-greedy index-alignment semantics.
+    ``encoder_factory`` may return an ``OnnxRelexEncoder`` for the
+    session-backed production path.
     """
     labels = list(labels)
     relations = list(relations)
@@ -216,12 +246,13 @@ def extract_triples(
         pipe = _get_pipeline(
             labels, relations, cfg,
             gazetteer=gazetteer, patterns=[tuple(p) for p in (patterns or [])],
+            encoder_factory=encoder_factory,
         )
         for pdf in batches:
             rows: List[tuple] = []
-            langs = pdf[lang_col] if has_lang else ["en"] * len(pdf)
-            for url, text, lang in zip(pdf[url_col], pdf[text_col], langs):
-                _ents, rels = pipe.predict_triples(text, lang or "en")
+            langs = list(pdf[lang_col]) if has_lang else ["en"] * len(pdf)
+            per_doc = pipe.predict_triples_batch(list(pdf[text_col]), langs)
+            for url, (_ents, rels) in zip(pdf[url_col], per_doc):
                 for r in rels:
                     h, t = r["head"], r["tail"]
                     rows.append(

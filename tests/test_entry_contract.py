@@ -52,11 +52,14 @@ class TestContract:
 
     def test_rows_only_queries_documented(self):
         rows_only = set(entry.queries()) - set(entry.oracle_sql())
-        # only the learned-weight analogs are exempt from SQL oracles
+        # only the learned-weight analogs (deterministic encoder + the
+        # hash-seeded fake ONNX session) are exempt from SQL oracles
         assert rows_only == {
             "kg_entities_zeroshot",
             "kg_triples_zeroshot",
             "kg_entities_tokenmode",
+            "kg_entities_onnx",
+            "kg_triples_onnx",
         }
 
     def test_entry_runs_and_has_stable_schema(self, spark):
