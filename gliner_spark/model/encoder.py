@@ -98,6 +98,17 @@ class DeterministicEncoder:
                 for _ in range(3)
             ]
         )
+        # Adjacency-mode weights (relations_layers.py:315-406), drawn
+        # AFTER every earlier weight so pre-round-2 scores stay
+        # bit-identical. One set per mode that needs parameters.
+        s = 1.0 / np.sqrt(dim)
+        self.w_adj_mlp1 = rng.standard_normal((2 * dim, dim)) * np.sqrt(s)
+        self.w_adj_mlp2 = rng.standard_normal((dim, 1)) * s
+        self.w_adj_q = rng.standard_normal((dim, dim)) * s
+        self.w_adj_k = rng.standard_normal((dim, dim)) * s
+        self.w_adj_gcn = rng.standard_normal((dim, dim)) * s
+        self.w_adj_gcn_proj = rng.standard_normal((dim, dim)) * s
+        self.w_adj_gat = rng.standard_normal((dim, dim)) * s
         self._token_cache: Dict[str, np.ndarray] = {}
 
     # ---- embeddings -----------------------------------------------------
@@ -187,6 +198,227 @@ class DeterministicEncoder:
                 self._span_cache[k] = r
         return np.stack([self._span_cache[k] for k in keys])
 
+    def rnn_smooth(self, token_embs: np.ndarray, num_layers: int = 1) -> np.ndarray:
+        """M4 analog: bidirectional recurrent smoothing of word
+        embeddings (LstmSeq2SeqEncoder, gliner/modeling/layers.py:9-64,
+        wired when num_rnn_layers > 0, base.py:316-317).
+
+        Deterministic simple-RNN cells replace the LSTM gates (the
+        trained-weights-replaced-by-seeded-weights policy): per layer,
+        h⃗ₜ = tanh(xₜW_i + h⃗ₜ₋₁W_h) forward and backward, concatenated
+        and projected back to D, row-normalized. Sequential over L by
+        nature (L ≤ max_len), vectorized over D.
+        """
+        D = self.dim
+        h = token_embs
+        L = h.shape[0]
+        if L == 0:
+            return h
+        for layer in range(num_layers):
+            wi_f = self._weight(f"rnn{layer}_wi_f", (D, D))
+            wh_f = self._weight(f"rnn{layer}_wh_f", (D, D))
+            wi_b = self._weight(f"rnn{layer}_wi_b", (D, D))
+            wh_b = self._weight(f"rnn{layer}_wh_b", (D, D))
+            w_out = self._weight(f"rnn{layer}_out", (2 * D, D))
+            xi_f = _mm(h, wi_f)
+            xi_b = _mm(h, wi_b)
+            fwd = np.zeros((L, D))
+            bwd = np.zeros((L, D))
+            prev = np.zeros(D)
+            for t in range(L):
+                prev = np.tanh(xi_f[t] + _mm(prev[None, :], wh_f)[0])
+                fwd[t] = prev
+            prev = np.zeros(D)
+            for t in range(L - 1, -1, -1):
+                prev = np.tanh(xi_b[t] + _mm(prev[None, :], wh_b)[0])
+                bwd[t] = prev
+            h = np.tanh(_mm(np.concatenate([fwd, bwd], axis=1), w_out))
+            h = h / (np.linalg.norm(h, axis=1, keepdims=True) + 1e-9)
+        return h
+
+    def cross_fuse(
+        self, label_embs: np.ndarray, token_embs: np.ndarray, schema: str = "l2t-t2l"
+    ) -> tuple:
+        """M9 analog: CrossFuser label↔text attention
+        (gliner/modeling/layers.py:298-404; wired via
+        post_fusion_schema, base.py:239-247 — off by default in the
+        reference and here).
+
+        ``schema`` is the reference's dash-separated step list: each
+        step ``q2kv`` updates the ``q`` state (``l`` = labels, ``t`` =
+        text) by attending over the ``kv`` state with a residual +
+        renormalize. Single-head deterministic attention.
+        """
+        states = {"l": label_embs, "t": token_embs}
+        D = self.dim
+        for i, step in enumerate(s for s in schema.split("-") if s):
+            try:
+                q_sym, kv_sym = step.split("2")
+                q, kv = states[q_sym], states[kv_sym]
+            except (ValueError, KeyError) as e:
+                raise ValueError(
+                    f"bad post_fusion_schema step {step!r} (want e.g. 'l2t-t2l')"
+                ) from e
+            if len(q) == 0 or len(kv) == 0:
+                continue
+            wq = self._weight(f"fuse{i}_q", (D, D))
+            wk = self._weight(f"fuse{i}_k", (D, D))
+            wv = self._weight(f"fuse{i}_v", (D, D))
+            wo = self._weight(f"fuse{i}_o", (D, D))
+            scores = _mm(_mm(q, wq), _mm(kv, wk).T) / np.sqrt(D)
+            scores -= scores.max(axis=1, keepdims=True)
+            attn = np.exp(scores)
+            attn /= attn.sum(axis=1, keepdims=True)
+            upd = np.tanh(_mm(_mm(attn, _mm(kv, wv)), wo))
+            fused = q + upd  # residual
+            states[q_sym] = fused / (np.linalg.norm(fused, axis=1, keepdims=True) + 1e-9)
+        return states["l"], states["t"]
+
+    SPAN_MODES = (
+        "markerV0",
+        "marker",
+        "markerV1",
+        "query",
+        "mlp",
+        "cat",
+        "conv_conv",
+        "conv_max",
+        "conv_mean",
+        "conv_sum",
+        "conv_share",
+    )
+
+    def _weight(self, name: str, shape: tuple, fan_in: Optional[int] = None) -> np.ndarray:
+        """Lazy hash-seeded weight (deterministic regardless of the
+        order modes are first used; no draw-order hazard)."""
+        if not hasattr(self, "_w_cache"):
+            self._w_cache = {}
+        key = (name, shape)
+        w = self._w_cache.get(key)
+        if w is None:
+            g = np.random.default_rng(_hash_seed("wspan", str(self.seed), name, repr(shape)))
+            w = g.standard_normal(shape) / np.sqrt(fan_in or shape[0])
+            self._w_cache[key] = w
+        return w
+
+    def span_representations_mode(
+        self,
+        token_embs: np.ndarray,
+        span_idx: np.ndarray,
+        max_width: int,
+        mode: str = "markerV0",
+    ) -> np.ndarray:
+        """(L, D) token embeddings + (S, 2) spans → (S, D) reps for every
+        SpanRepLayer mode (gliner/modeling/span_rep.py:687-760 factory):
+
+        * ``markerV0`` — the default production layer (:463-510), the
+          bit-exact pre-round-2 path;
+        * ``marker``/``markerV1`` — endpoint-projection MLPs, V1 adds
+          the mean-token feature (:388-460, :513-585);
+        * ``query``/``mlp``/``cat`` — per-(position, width) grids from
+          learned width queries / a width-expanding MLP / concat with
+          width queries (:8-155);
+        * ``conv_*`` — width-k windows via conv/max/mean/sum pooling
+          over right-zero-padded windows (:157-267), ``conv_share``
+          shares one kernel across widths (:311-386).
+
+        ``token_level`` (TokenMarker, :638-686) is realized as this
+        build's token-scoring mode (PipelineConfig(mode="token")), not a
+        span grid. Dropout layers are inference-identity and omitted.
+        All outputs are row-normalized (consistent scoring scale).
+        """
+        L, D = token_embs.shape
+        S = len(span_idx)
+        if L == 0 or S == 0:
+            return np.zeros((S, D))
+        starts = np.clip(span_idx[:, 0], 0, L - 1)
+        ends = np.clip(span_idx[:, 1], 0, L - 1)
+        widths = np.clip(span_idx[:, 1] - span_idx[:, 0], 0, max_width - 1)
+        relu = lambda x: np.maximum(x, 0.0)  # noqa: E731
+        h = token_embs
+
+        def norm(rep):
+            return rep / (np.linalg.norm(rep, axis=-1, keepdims=True) + 1e-9)
+
+        if mode == "markerV0":
+            return self.span_representations(token_embs, span_idx)
+        if mode == "marker":
+            sr = _mm(relu(_mm(h, self._weight("marker_s1", (D, 2 * D)))), self._weight("marker_s2", (2 * D, D), 2 * D))
+            er = _mm(relu(_mm(h, self._weight("marker_e1", (D, 2 * D)))), self._weight("marker_e2", (2 * D, D), 2 * D))
+            cat = relu(np.concatenate([sr[starts], er[ends]], axis=1))
+            return norm(_mm(cat, self._weight("marker_out", (2 * D, D))))
+        if mode == "markerV1":
+            sr = relu(_mm(h, self._weight("mk1_s", (D, D))))
+            er = relu(_mm(h, self._weight("mk1_e", (D, D))))
+            avg = relu(_mm(h.mean(axis=0)[None, :], self._weight("mk1_f", (D, D))))[0]
+            cat = relu(
+                np.concatenate(
+                    [sr[starts], er[ends], np.broadcast_to(avg, (S, D))], axis=1
+                )
+            )
+            return norm(_mm(cat, self._weight("mk1_out", (3 * D, D))))
+        if mode == "query":
+            q = self._weight("query_seg", (D, max_width), 1)  # uniform-ish scale
+            grid = np.einsum("ld,dk->lkd", h, q, optimize=False)
+            grid = relu(np.einsum("lkd,de->lke", grid, self._weight("query_proj", (D, D)), optimize=False))
+            return norm(grid[starts, widths])
+        if mode == "mlp":
+            grid = relu(_mm(h, self._weight("mlp_w", (D, max_width * D)))).reshape(L, max_width, D)
+            return norm(grid[starts, widths])
+        if mode == "cat":
+            qdim = min(D, 128)
+            q = self._weight("cat_q", (qdim, max_width), 1)
+            hi = h[starts]
+            qs = q.T[widths]  # (S, qdim)
+            cat = np.concatenate([hi, qs], axis=1)
+            return norm(relu(_mm(cat, self._weight("cat_proj", (D + qdim, D)))))
+        if mode in ("conv_conv", "conv_max", "conv_mean", "conv_sum", "conv_share"):
+            pad = np.concatenate([h, np.zeros((max_width, D))], axis=0)
+            grid = np.zeros((L, max_width, D))
+            if mode == "conv_share":
+                w = self._weight("conv_share_w", (max_width, D, D))
+                for k in range(max_width):
+                    acc = np.zeros((L, D))
+                    for tau in range(k + 1):
+                        acc += _mm(pad[tau : tau + L], w[tau])
+                    grid[:, k] = acc
+            elif mode == "conv_conv":
+                # width 1 = identity; kernels 2..K are learned convs
+                grid[:, 0] = h
+                for k in range(1, max_width):
+                    w = self._weight(f"conv_k{k + 1}", (k + 1, D, D))
+                    acc = np.zeros((L, D))
+                    for tau in range(k + 1):
+                        acc += _mm(pad[tau : tau + L], w[tau])
+                    grid[:, k] = acc
+            else:
+                windows = np.stack(
+                    [pad[k : k + L] for k in range(max_width)], axis=1
+                )  # (L, K, D) — window position k of each width
+                csum = np.cumsum(windows, axis=1)
+                counts = np.arange(1, max_width + 1)[None, :, None]
+                if mode == "conv_mean":
+                    grid = csum / counts
+                elif mode == "conv_sum":
+                    grid = csum
+                else:  # conv_max
+                    grid = np.maximum.accumulate(windows, axis=1)
+            # project = Sequential(ReLU, Linear) (span_rep.py:247, :345);
+            # the tanh squash (as in markerV0) keeps scores bounded AND
+            # scale-sensitive — without it row normalization would make
+            # conv_sum (= kernel_size × conv_mean) indistinguishable
+            # from conv_mean, unlike the reference where the raw scale
+            # flows into the logits.
+            proj = self._weight("conv_proj", (D, D))
+            grid = np.tanh(np.einsum("lkd,de->lke", relu(grid), proj, optimize=False))
+            return norm(grid[starts, widths])
+        if mode == "token_level":
+            raise ValueError(
+                "token_level span representation is the token-scoring model "
+                "family here — use PipelineConfig(mode='token')"
+            )
+        raise ValueError(f"unknown span mode {mode!r}; have {self.SPAN_MODES}")
+
     def score_spans(self, span_reps: np.ndarray, label_embs: np.ndarray) -> np.ndarray:
         """(S, D) × (C, D) → (S, C) logits; the M6 einsum 'join'."""
         return (_mm(span_reps, label_embs.T) - self.margin) / self.temperature
@@ -218,6 +450,64 @@ class DeterministicEncoder:
         """(E, D) → (E, E) bilinear adjacency logits (relations_layers.py:45-70)."""
         proj = _mm(span_reps, self.w_adj)
         return (_mm(proj, span_reps.T) - self.margin) / self.temperature
+
+    ADJACENCY_MODES = ("bilinear", "dot", "mlp", "attention", "attn", "gcn", "gat")
+
+    def adjacency_probs(self, span_reps: np.ndarray, mode: str = "bilinear") -> np.ndarray:
+        """(E, D) → (E, E) adjacency PROBABILITIES for every
+        RelationsRepLayer mode (relations_layers.py:315-406):
+
+        * ``bilinear`` — sigmoid of the bit-exact pre-round-2 logits
+          (BilinearDecoder, :150-185);
+        * ``dot`` — sigmoid(X·Xᵀ) (dot_product_adjacency, :45-71);
+        * ``mlp`` — sigmoid(MLP([xᵢ ‖ xⱼ])) over all pairs (MLPDecoder,
+          :73-108), vectorized over the E×E grid instead of the
+          reference's expand/cat;
+        * ``attention``/``attn`` — single-head self-attention weights
+          softmax((XW_q)(XW_k)ᵀ/√D) (AttentionAdjacency, :110-148 —
+          already in [0,1], rows sum to 1);
+        * ``gcn`` — dot adjacency → symmetric-normalized propagation →
+          ReLU(linear) → sigmoid(ZZᵀ) (GCNDecoder, :186-269);
+        * ``gat`` — attention-weighted context → linear → sigmoid(ZZᵀ)
+          (GATDecoder, :272-312).
+        """
+        m = mode.lower()
+        E, D = span_reps.shape
+        if E == 0:
+            return np.zeros((0, 0))
+        logistic = lambda x: 1.0 / (1.0 + np.exp(-x))  # noqa: E731
+        scale = lambda x: (x - self.margin) / self.temperature  # noqa: E731
+        if m == "bilinear":
+            return logistic(self.adjacency_logits(span_reps))
+        if m == "dot":
+            return logistic(scale(_mm(span_reps, span_reps.T)))
+        if m == "mlp":
+            xi = np.repeat(span_reps, E, axis=0)  # row-major (i, j) grid
+            xj = np.tile(span_reps, (E, 1))
+            hid = np.maximum(_mm(np.concatenate([xi, xj], axis=1), self.w_adj_mlp1), 0.0)
+            return logistic(scale(_mm(hid, self.w_adj_mlp2)).reshape(E, E))
+        if m in ("attention", "attn"):
+            q = _mm(span_reps, self.w_adj_q)
+            k = _mm(span_reps, self.w_adj_k)
+            scores = _mm(q, k.T) / np.sqrt(D)
+            scores = scores - scores.max(axis=1, keepdims=True)
+            w = np.exp(scores)
+            return w / w.sum(axis=1, keepdims=True)
+        if m == "gcn":
+            a0 = logistic(scale(_mm(span_reps, span_reps.T)))
+            a0 = a0 + np.eye(E)  # self-loops (SimpleGCNLayer, :222-227)
+            d_inv_sqrt = 1.0 / np.sqrt(a0.sum(axis=1))
+            a_norm = a0 * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
+            hidden = np.maximum(_mm(_mm(a_norm, span_reps), self.w_adj_gcn), 0.0)
+            z = _mm(hidden, self.w_adj_gcn_proj)
+            return logistic(scale(_mm(z, z.T)))
+        if m == "gat":
+            w = self.adjacency_probs(span_reps, "attention")
+            z = _mm(_mm(w, span_reps), self.w_adj_gat)
+            return logistic(scale(_mm(z, z.T)))
+        raise ValueError(
+            f"unknown relations mode {mode!r}; have {self.ADJACENCY_MODES}"
+        )
 
     def pair_relation_logits(
         self, head_reps: np.ndarray, tail_reps: np.ndarray, rel_embs: np.ndarray

@@ -62,6 +62,24 @@ class PipelineConfig:
     # dependency-lite proximity: a predicate pattern only fires when the
     # head and tail spans are within this many words of each other.
     max_pattern_distance: int = 10
+    # M4: bidirectional recurrent smoothing of word embeddings before
+    # span representation (LstmSeq2SeqEncoder, layers.py:9-64; active
+    # when > 0 — the reference's num_rnn_layers contract).
+    num_rnn_layers: int = 0
+    # M9: CrossFuser label↔text attention schema (layers.py:298-404),
+    # e.g. "l2t-t2l"; empty = off (the reference default).
+    post_fusion_schema: str = ""
+    # Span representation mode — one of the reference's SpanRepLayer
+    # family (span_rep.py:687-760): markerV0 (production default, the
+    # bit-exact pre-round-2 path), marker, markerV1, query, mlp, cat,
+    # conv_conv, conv_max, conv_mean, conv_sum, conv_share.
+    span_mode: str = "markerV0"
+    # Adjacency predictor mode for the joint relex head — one of
+    # bilinear / dot / mlp / attention / gcn / gat, mirroring the
+    # reference's RelationsRepLayer dispatch
+    # (relations_layers.py:315-406). Default preserves the bit-exact
+    # pre-round-2 bilinear scores.
+    relations_mode: str = "bilinear"
     # Documents per model forward on the batched path (the reference's
     # inference DataLoader default, gliner/model.py:1391). Only the
     # ONNX-session backend truly batches; the deterministic analog is
@@ -178,11 +196,34 @@ class GLiNERPipeline:
                 np.zeros((L, K, len(self.labels))),
                 np.zeros((L * K, self.config.dim)),
             )
-        # token-pair-keyed span reps with a cross-document cache (Zipf
-        # vocabularies repeat pairs heavily; bit-identical to the
-        # uncached path — each einsum row is computed independently)
-        span_reps = self.encoder.span_representations_tokens(tokens, sidx)
-        logits = self.encoder.score_spans(span_reps, self.label_embs)  # (L*K, C)
+        cfg = self.config
+        label_embs = self.label_embs
+        contextual = (
+            cfg.span_mode != "markerV0"
+            or cfg.num_rnn_layers > 0
+            or bool(cfg.post_fusion_schema)
+        )
+        if contextual:
+            # contextual paths (alt span modes, M4 RNN smoothing, M9
+            # cross-fusion) depend on the whole token sequence →
+            # per-document compute, no pair cache
+            h = self.encoder.embed_tokens(tokens)
+            if cfg.num_rnn_layers > 0:
+                h = self.encoder.rnn_smooth(h, cfg.num_rnn_layers)
+            if cfg.post_fusion_schema:
+                label_embs, h = self.encoder.cross_fuse(
+                    label_embs, h, cfg.post_fusion_schema
+                )
+            span_reps = self.encoder.span_representations_mode(
+                h, sidx, K, cfg.span_mode
+            )
+        else:
+            # token-pair-keyed span reps with a cross-document cache
+            # (Zipf vocabularies repeat pairs heavily; bit-identical to
+            # the uncached path — each einsum row is computed
+            # independently)
+            span_reps = self.encoder.span_representations_tokens(tokens, sidx)
+        logits = self.encoder.score_spans(span_reps, label_embs)  # (L*K, C)
         probs = sigmoid(logits).reshape(L, K, len(self.labels))
         return probs, span_reps
 
@@ -451,8 +492,9 @@ class GLiNERPipeline:
             packed_labels = [
                 self.labels[int(c)] for c in flat_probs[packed_idx].argmax(axis=1)
             ]
-            # --- step 3: adjacency + directed pairs ---
-            adj = sigmoid(self.encoder.adjacency_logits(packed_reps))
+            # --- step 3: adjacency + directed pairs (mode-dispatched,
+            # relations_layers.py:315-406; bilinear = default) ---
+            adj = self.encoder.adjacency_probs(packed_reps, self.config.relations_mode)
             packed_spans = sidx[packed_idx]  # (E, 2) word positions
             # Vectorized word-gap matrix (shared by adjacency + rel
             # boosts): gap[i,j] = max(start_j - end_i, start_i - end_j).
