@@ -205,6 +205,18 @@ def q_kg_entities_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
 
 
+def q_kg_entities_tokenmode_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mode ONNX graph contract ((3,B,W,C) position-first logits,
+    no span grid in the declared inputs) — rows-only check."""
+    from gliner_spark.model.ort_testing import fake_token_encoder_factory
+
+    ents = extract_entities(
+        _pages(spark, sf_dir), labels=ENT_LABELS, threshold=0.4, lang_col=None,
+        mode="token", encoder_factory=fake_token_encoder_factory,
+    )
+    return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
+
+
 def q_kg_triples_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint relex through the ONNX relex graph contract (4-output
     session: logits/rel_idx/rel_logits/rel_mask) — rows-only check."""
@@ -427,7 +439,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs route (default): chunked block-nested-loop
+    applyInPandas — distributed, no driver collect."""
     return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=COSINE_T)
+
+
+def q_dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB route: sign-bucket LSH blocking → per-bucket equi-join
+    → exact cosine verify. Sub-quadratic candidate work; oracle computes
+    the identical bucket expression in SQL."""
+    from gliner_spark.functions.vectors import sign_bucket
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", sign_bucket(F.col("embedding"), BUCKET_BITS)
+    )
+    return embedding_cosine_pairs(
+        emb, threshold=COSINE_T, block_col="bucket"
+    )
 
 
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_zeroshot": q_kg_entities_zeroshot,
         "kg_entities_tokenmode": q_kg_entities_tokenmode,
         "kg_entities_onnx": q_kg_entities_onnx,
+        "kg_entities_tokenmode_onnx": q_kg_entities_tokenmode_onnx,
         "kg_triples_onnx": q_kg_triples_onnx,
         "kg_triples": q_kg_triples,
         "kg_triples_zeroshot": q_kg_triples_zeroshot,
@@ -522,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_cosine_blocked": q_dedup_cosine_blocked,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "text_token_count": q_text_token_count,
@@ -885,6 +915,13 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
         "dedup_embedding_cosine": f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_T}
+""",
+        "dedup_cosine_blocked": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+ AND {_bucket_expr('a.embedding')} = {_bucket_expr('b.embedding')}
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_T}
 """,
         "ann_topk_cosine": f"""

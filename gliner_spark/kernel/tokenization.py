@@ -54,33 +54,89 @@ def _regex_splitter(text: str) -> Iterator[Token]:
         yield m.group(), m.start(), m.end()
 
 
-def _try_language_backend(lang: str):
-    """Optional language-specific splitters (reference tokenizer.py:64-515).
+def _offsets_by_scan(text: str, tokens) -> Iterator[Token]:
+    """Reconstruct char offsets from a segmenter's token stream by
+    forward-scanning the source — exactly how the reference recovers
+    offsets for jieba/janome output (tokenizer.py:165-172, 198-207:
+    ``text.find(token, last_idx)``). Whitespace-only tokens and tokens
+    the scan can't locate are skipped."""
+    last = 0
+    for tok in tokens:
+        if not tok or not tok.strip():
+            continue
+        start = text.find(tok, last)
+        if start < 0:
+            continue
+        end = start + len(tok)
+        last = end
+        yield tok, start, end
 
-    Each heavy backend is import-gated; missing backends fall back to the
-    universal regex splitter, which the reference also uses as default.
-    """
+
+def _make_zh_splitter():
+    """Chinese: jieba3 (the reference's backend, tokenizer.py:174-208)
+    or classic jieba as a fallback — both are pure-python."""
     try:
-        if lang == "ja":
-            from janome.tokenizer import Tokenizer  # noqa: F401  pragma: no cover
-        elif lang == "zh":
-            import jieba  # noqa: F401  pragma: no cover
-        elif lang == "ko":
-            import konlpy  # noqa: F401  pragma: no cover
-        else:
-            return None
+        import jieba3  # type: ignore
+
+        tagger = jieba3.jieba3()
+        return lambda text: _offsets_by_scan(text, tagger.cut_text(text))
+    except ImportError:
+        pass
+    try:
+        import jieba  # type: ignore
+
+        return lambda text: _offsets_by_scan(text, jieba.cut(text))
     except ImportError:
         return None
-    return None  # backends intentionally unused in this environment
+
+
+def _make_ja_splitter():
+    """Japanese: janome morphological analysis (tokenizer.py:139-172)."""
+    try:
+        from janome.tokenizer import Tokenizer  # type: ignore
+    except ImportError:
+        return None
+    tok = Tokenizer()
+    return lambda text: _offsets_by_scan(text, tok.tokenize(text, wakati=True))
+
+
+def _make_ko_splitter():
+    """Korean: mecab-ko morpheme segmentation (tokenizer.py:102-137)."""
+    try:
+        import mecab  # type: ignore
+    except ImportError:
+        return None
+    tagger = mecab.MeCab()
+    return lambda text: _offsets_by_scan(text, tagger.morphs(text))
+
+
+_BACKEND_FACTORIES = {"zh": _make_zh_splitter, "ja": _make_ja_splitter, "ko": _make_ko_splitter}
+_BACKEND_CACHE: dict = {}
+
+
+def _language_backend(lang: str):
+    """Import-gated per-language segmenter, cached per worker process.
+
+    The cache also remembers misses so absent packages cost one failed
+    import per process, not one per call."""
+    if lang in _BACKEND_CACHE:
+        return _BACKEND_CACHE[lang]
+    factory = _BACKEND_FACTORIES.get(lang)
+    backend = factory() if factory is not None else None
+    _BACKEND_CACHE[lang] = backend
+    return backend
 
 
 def splitter_for_lang(lang: str = "en") -> Callable[[str], Iterator[Token]]:
     """Select a splitter by language code.
 
-    Mirrors MultiLangWordsSplitter dispatch (tokenizer.py:334-404): a
-    per-language backend when available, else the universal regex. In
-    this build every language resolves to the regex splitter (the
-    reference's own default), keeping outputs deterministic everywhere.
+    Mirrors MultiLangWordsSplitter dispatch (tokenizer.py:334-404): the
+    per-language backend when its package is importable (zh → jieba3/
+    jieba, ja → janome, ko → mecab-ko), else the universal regex
+    splitter — the reference's own fallback. The ``lang`` column of the
+    pages table drives this per row, so mixed-language corpora tokenize
+    correctly wherever the backends are shipped (``--py-files``) and
+    deterministically fall back where they are not.
     """
-    _try_language_backend(lang)
-    return _regex_splitter
+    base = (lang or "en").lower().split("-")[0]  # zh-cn/zh-tw → zh (ref :365-367)
+    return _language_backend(base) or _regex_splitter

@@ -44,6 +44,9 @@ SPAN_INPUT_NAMES = (
 )
 SPAN_OUTPUT_NAMES = ("logits",)
 RELEX_OUTPUT_NAMES = ("logits", "rel_idx", "rel_logits", "rel_mask")
+# Token model (gliner/model.py:1941-1989): no span grid; logits come
+# back position-first (3=start/end/inside, B, W, C).
+TOKEN_INPUT_NAMES = ("input_ids", "attention_mask", "words_mask", "text_lengths")
 
 
 @dataclass
@@ -61,6 +64,7 @@ def build_span_feed(
     tokenizer,
     max_width: int = 12,
     relations: Optional[Sequence[str]] = None,
+    include_span_grid: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], FeedMeta]:
     """Word-token batch → the exact ONNX feed dict.
 
@@ -91,25 +95,25 @@ def build_span_feed(
 
     word_counts = [len(t) for t in batch_tokens]
     max_words = max(word_counts) if word_counts else 0
-    K = max_width
-    s_max = max_words * K
-    span_idx = np.zeros((B, s_max, 2), dtype=np.int64)
-    span_mask = np.zeros((B, s_max), dtype=np.int64)
-    for b, L in enumerate(word_counts):
-        if L == 0:
-            continue
-        sidx = span_idx_array(L, K)  # (L*K, 2), row-major (i, i+j)
-        span_idx[b, : L * K] = sidx
-        span_mask[b, : L * K] = (sidx[:, 1] < L).astype(np.int64)
-
     feed = {
         "input_ids": sub.input_ids,
         "attention_mask": sub.attention_mask,
         "words_mask": words_mask,
         "text_lengths": np.asarray(word_counts, dtype=np.int64).reshape(B, 1),
-        "span_idx": span_idx,
-        "span_mask": span_mask,
     }
+    if include_span_grid:  # token-mode graphs declare no span inputs
+        K = max_width
+        s_max = max_words * K
+        span_idx = np.zeros((B, s_max, 2), dtype=np.int64)
+        span_mask = np.zeros((B, s_max), dtype=np.int64)
+        for b, L in enumerate(word_counts):
+            if L == 0:
+                continue
+            sidx = span_idx_array(L, K)  # (L*K, 2), row-major (i, i+j)
+            span_idx[b, : L * K] = sidx
+            span_mask[b, : L * K] = (sidx[:, 1] < L).astype(np.int64)
+        feed["span_idx"] = span_idx
+        feed["span_mask"] = span_mask
     return feed, FeedMeta(word_counts, prompt_len, max_words)
 
 
@@ -212,6 +216,37 @@ class OnnxSpanEncoder:
     ) -> List[np.ndarray]:
         per_doc, _meta, _outputs = self.span_logits(batch_tokens, labels)
         return [sigmoid(x) for x in per_doc]
+
+
+class OnnxTokenEncoder(OnnxSpanEncoder):
+    """Token-mode model (uni-encoder token, gliner/model.py:1941-1989):
+    same feed minus the span grid (``prepare_feed_for_session`` drops
+    span_idx/span_mask against the token graph's declared inputs);
+    logits come back ``(3, B, W, C)`` — start/end/inside channel first
+    (the reference's dynamic axis 0 = "position") — and are re-laid to
+    the decode kernel's ``(W, C, 3)`` per document.
+    """
+
+    supports_relations = False
+
+    def token_probs(
+        self, batch_tokens: Sequence[Sequence[str]], labels: Sequence[str]
+    ) -> List[np.ndarray]:
+        feed, meta = build_span_feed(
+            batch_tokens, labels, self.tokenizer, self.max_width,
+            include_span_grid=False,
+        )
+        outputs = self._run(feed)
+        logits = np.asarray(outputs[0])  # (3, B, W, C)
+        if logits.ndim != 4 or logits.shape[0] != 3:
+            raise ValueError(
+                f"token graph must emit (3, B, W, C) logits, got {logits.shape}"
+            )
+        out = []
+        for b in range(len(batch_tokens)):
+            w = meta.word_counts[b]
+            out.append(sigmoid(np.transpose(logits[:, b, :w, :], (1, 2, 0))))
+        return out
 
 
 class OnnxRelexEncoder(OnnxSpanEncoder):

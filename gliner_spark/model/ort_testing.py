@@ -32,7 +32,12 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from .encoder import _hash_seed, _mm
-from .onnx_backend import RELEX_OUTPUT_NAMES, SPAN_INPUT_NAMES, SPAN_OUTPUT_NAMES
+from .onnx_backend import (
+    RELEX_OUTPUT_NAMES,
+    SPAN_INPUT_NAMES,
+    SPAN_OUTPUT_NAMES,
+    TOKEN_INPUT_NAMES,
+)
 from .subword import DeterministicSubwordTokenizer
 
 
@@ -47,6 +52,12 @@ def fake_span_encoder_factory():
     from .onnx_backend import OnnxSpanEncoder
 
     return OnnxSpanEncoder(session=FakeSpanSession())
+
+
+def fake_token_encoder_factory():
+    from .onnx_backend import OnnxTokenEncoder
+
+    return OnnxTokenEncoder(session=FakeTokenSession())
 
 
 def fake_relex_encoder_factory():
@@ -112,7 +123,10 @@ class FakeSpanSession:
         attention = np.asarray(feed["attention_mask"])
         words_mask = np.asarray(feed["words_mask"])
         text_lengths = np.asarray(feed["text_lengths"]).reshape(-1)
-        span_idx = np.asarray(feed["span_idx"])
+        # token-mode graphs declare no span grid (the feed filter drops it)
+        span_idx = np.asarray(
+            feed.get("span_idx", np.zeros((input_ids.shape[0], 0, 2), dtype=np.int64))
+        )
         B, S = input_ids.shape
         D = self.dim
         # M1 stand-in: per-id embedding, zeroed where attention == 0.
@@ -155,6 +169,7 @@ class FakeSpanSession:
         return {
             "prompts": prompts,
             "reps": reps,
+            "words": words,
             "W": W,
             "B": B,
             "C": C,
@@ -174,6 +189,38 @@ class FakeSpanSession:
             sl = (_mm(state["reps"][b], state["prompts"][b].T) - self.margin) / self.temperature
             logits[b] = sl.reshape(W, K, C)
         return logits
+
+
+class FakeTokenSession(FakeSpanSession):
+    """Token-graph fake: (3, B, W, C) start/end/inside logits from word
+    features vs <<ENT>> prompt features (scorers.py:45-81 semantics;
+    position-first layout per the export spec, model.py:1941-1989)."""
+
+    input_names: Sequence[str] = TOKEN_INPUT_NAMES
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        rng = np.random.default_rng(self.seed + 7)
+        base = rng.standard_normal((self.dim, self.dim))
+        self.w_chan = np.stack(
+            [
+                (base + 0.25 * rng.standard_normal((self.dim, self.dim)))
+                / np.sqrt(self.dim)
+                for _ in range(3)
+            ]
+        )
+
+    def run(self, output_names, feed: Dict[str, np.ndarray]):
+        state = self._encode(feed)
+        B, W, C = state["B"], state["W"], state["C"]
+        words, prompts = state["words"], state["prompts"]
+        logits = np.zeros((3, B, W, C))
+        for ch in range(3):
+            for b in range(B):
+                proj = np.tanh(_mm(words[b], self.w_chan[ch]))
+                proj /= np.linalg.norm(proj, axis=1, keepdims=True) + 1e-9
+                logits[ch, b] = (_mm(proj, prompts[b].T) - self.margin) / self.temperature
+        return [logits]
 
 
 class FakeRelexSession(FakeSpanSession):

@@ -414,15 +414,20 @@ class GLiNERPipeline:
         """
         from ..kernel.decoding import decode_token_scores
 
-        if not hasattr(self.encoder, "token_label_scores"):
+        if hasattr(self.encoder, "token_probs"):
+            # token-mode ONNX graph (OnnxTokenEncoder): (W, C, 3) probs
+            probs = self.encoder.token_probs([tokens], self.labels)[0]
+        elif not hasattr(self.encoder, "token_label_scores"):
             raise ValueError(
-                "token mode needs a token-scoring backend (DeterministicEncoder); "
-                "a span-mode ONNX session cannot produce (W,C,3) start/end/inside "
-                "scores — export the token-mode graph (gliner/model.py:1941-1989)"
+                "token mode needs a token-scoring backend (DeterministicEncoder "
+                "or OnnxTokenEncoder); a span-mode ONNX session cannot produce "
+                "(W,C,3) start/end/inside scores — export the token-mode graph "
+                "(gliner/model.py:1941-1989)"
             )
-        token_embs = self.encoder.embed_tokens(tokens)
-        logits = self.encoder.token_label_scores(token_embs, self.label_embs)
-        probs = sigmoid(logits)  # (W, C, 3)
+        else:
+            token_embs = self.encoder.embed_tokens(tokens)
+            logits = self.encoder.token_label_scores(token_embs, self.label_embs)
+            probs = sigmoid(logits)  # (W, C, 3)
         spans = decode_token_scores(
             probs[:, :, 0],
             probs[:, :, 1],

@@ -29,23 +29,34 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     max_driver_edges: int = 5_000_000,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """edges(src, dst) → assignments(node, component).
 
     ``component`` is the minimum node id reachable from ``node``.
     Deterministic; undirected interpretation of edges.
 
-    Two physical routes with identical results:
+    Physical routes with identical results (``algorithm``):
 
-    * **small edge set** (≤ max_driver_edges): collect the edges and run
-      union-find on the driver, then parallelize the assignment. Match
-      edges are the *rare* near-dup pairs — a fraction of a percent of
-      the corpus — so even a 10^12-doc run usually fits; the collect is
-      of edges, never of the corpus. This avoids paying ~2 shuffles ×
-      O(diameter) rounds of fixed job overhead for a tiny graph.
-    * **large edge set**: iterative distributed min-label propagation
-      (below), one shuffle per round, lineage truncated per round.
+    * ``auto`` — driver union-find for edge sets ≤ max_driver_edges,
+      else large-star/small-star. Match edges are the *rare* near-dup
+      pairs — a fraction of a percent of the corpus — so even a
+      10^12-doc run usually fits the driver route; the collect is of
+      edges, never of the corpus, and avoids paying per-round job
+      overhead for a tiny graph.
+    * ``star`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond"): converges in
+      O(log n) rounds on ANY graph shape, including the adversarial
+      long chains where min-label propagation needs O(diameter)
+      rounds. One groupBy + one join per half-round, lineage truncated
+      per round. THE 100 TB default for big edge sets.
+    * ``propagation`` — iterative min-label propagation: one shuffle
+      per round, O(diameter) rounds. Fine for the near-clique clusters
+      entity-match graphs actually produce; kept for comparison.
+    * ``driver`` — force the union-find route.
     """
+    if algorithm not in ("auto", "driver", "star", "propagation"):
+        raise ValueError(f"unknown CC algorithm {algorithm!r}")
     spark = edges.sparkSession
     # Materialize the edge set once, fully parallel, then decide the
     # route from its size. (A limit()-guarded collect would trigger
@@ -53,7 +64,7 @@ def connected_components(
     # expensive edge-generating child nearly serially.)
     edge_rows = edges.select(src, dst).persist()
     n_edges = edge_rows.count()
-    if n_edges <= max_driver_edges:
+    if algorithm == "driver" or (algorithm == "auto" and n_edges <= max_driver_edges):
         head = edge_rows.collect()
         edge_rows.unpersist()
         pairs = [(r[0], r[1]) for r in head]
@@ -83,8 +94,10 @@ def connected_components(
         return spark.createDataFrame(
             rows, f"node {node_type}, component {node_type}"
         )
-    # big-graph route: iterate over the cached edge rows (released when
-    # the caller's plan is done — tiny relative to the corpus anyway)
+    if algorithm in ("auto", "star"):
+        return _cc_star(edge_rows, src, dst, max_iter)
+    # min-label propagation route: iterate over the cached edge rows
+    # (released when the caller's plan is done)
     sym = (
         edge_rows.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edge_rows.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -122,6 +135,90 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _cc_star(edge_rows: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Per round (Kiveris et al. 2014):
+      large-star: every node links its LARGER neighbors to its minimum
+                  neighborhood member (min(Γ(u) ∪ {u}));
+      small-star: every node links its smaller-or-equal neighbors (and
+                  itself) to that minimum.
+    The edge set contracts toward a star forest rooted at each
+    component's minimum id in O(log n) rounds. Each half-round is one
+    groupBy (neighborhood min) + one join; lineage truncated per round
+    with localCheckpoint.
+    """
+    F_ = F
+    node_type = edge_rows.schema[src].dataType.simpleString()
+    all_nodes = (
+        edge_rows.select(F_.col(src).alias("node"))
+        .unionByName(edge_rows.select(F_.col(dst).alias("node")))
+        .distinct()
+    )
+    # canonical undirected edges (u > v), self-loops dropped
+    e = edge_rows.where(F_.col(src) != F_.col(dst))
+    edges = (
+        e.select(
+            F_.greatest(F_.col(src), F_.col(dst)).alias("u"),
+            F_.least(F_.col(src), F_.col(dst)).alias("v"),
+        ).distinct()
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # ---- large-star ----
+        sym = edges.unionByName(
+            edges.select(F_.col("v").alias("u"), F_.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F_.min("v").alias("mn"))
+        mins = mins.select("u", F_.least("u", "mn").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F_.col("v") > F_.col("u"))  # larger neighbors only
+            .select(F_.col("v").alias("x"), F_.col("m"))
+            .where(F_.col("x") != F_.col("m"))
+            .select(
+                F_.greatest("x", "m").alias("u"), F_.least("x", "m").alias("v")
+            )
+            .distinct()
+        )
+        # ---- small-star (on u > v oriented edges) ----
+        mins2 = large.groupBy("u").agg(F_.min("v").alias("m"))
+        pairs = large.join(mins2, "u")
+        small = (
+            pairs.select(F_.col("v").alias("x"), "m")
+            .unionByName(pairs.select(F_.col("u").alias("x"), "m"))
+            .where(F_.col("x") != F_.col("m"))
+            .select(
+                F_.greatest("x", "m").alias("u"), F_.least("x", "m").alias("v")
+            )
+            .distinct()
+        )
+        new_edges = small.localCheckpoint(eager=True)
+        # converged when the canonical edge set is unchanged
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+
+    # star forest: child u → root v (= component min); roots self-map;
+    # groupBy-min is a safety net if max_iter stopped pre-convergence.
+    assign = edges.groupBy(F_.col("u").alias("node")).agg(
+        F_.min("v").alias("component")
+    )
+    return (
+        all_nodes.join(assign, "node", "left")
+        .select(
+            "node",
+            F_.coalesce(F_.col("component"), F_.col("node"))
+            .cast(node_type)
+            .alias("component"),
+        )
+    )
 
 
 def canonical_entities(match_edges: DataFrame, mentions: DataFrame) -> DataFrame:

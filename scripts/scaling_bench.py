@@ -28,15 +28,34 @@ if REPO not in sys.path:  # mp.Pool children inherit this (fork)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALED_DIR = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/tmp/sfscale")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "8"))
-JOBS = ["kg_triples_zeroshot", "dedup_minhash_lsh"]
+JOBS = [
+    j
+    for j in os.environ.get(
+        "SPARK_GRAFT_JOBS", "kg_triples_zeroshot,dedup_minhash_lsh"
+    ).split(",")
+    if j
+]
 
 
 def build_scaled_input() -> None:
-    """Deterministically replicate the sf tables REPLICAS× (ids offset
-    per replica) so the measured jobs are compute-bound rather than
-    job-overhead-bound. Both parallelism levels read this same input.
-    Idempotent across runs."""
-    marker = os.path.join(SCALED_DIR, f".built_r{REPLICAS}")
+    """Deterministically scale the sf tables REPLICAS× so the measured
+    jobs are compute-bound rather than job-overhead-bound. Both
+    parallelism levels read this same input. Idempotent across runs.
+
+    NON-DEGENERATE by construction (round-2 fix): plain replication
+    made every doc an exact duplicate of its siblings, inflating
+    minhash candidate pairs REPLICAS× (an interim salt-token variant
+    instead left every sibling pair at shingle-jaccard ~0.33 — inside
+    LSH's band-collision range, so candidate verification grew with
+    the replica count: another artifact). Now each replica applies a
+    deterministic word PERMUTATION keyed by (replica, position):
+    vocabulary, word counts, length distribution and entity surface
+    forms are all preserved (the extraction workload is unchanged) and
+    exact duplicates engineered inside the base corpus remain exact
+    duplicates within every replica, but cross-replica shingle overlap
+    is destroyed — siblings are unrelated documents to every dedup
+    operator, the realistic web-corpus shape."""
+    marker = os.path.join(SCALED_DIR, f".built_r{REPLICAS}_perm")
     if os.path.exists(marker):
         return
     import duckdb
@@ -49,7 +68,14 @@ def build_scaled_input() -> None:
     con.sql(
         f"""
         COPY (
-          SELECT doc_id + r.i * 1000000 AS doc_id, text, lang, source, n_chars
+          SELECT doc_id + r.i * 1000000 AS doc_id,
+                 array_to_string(
+                   list_transform(
+                     list_sort(list_transform(string_split(text, ' '),
+                       (w, j) -> md5('r' || CAST(r.i AS VARCHAR) || 'p' || CAST(j AS VARCHAR)) || '|' || w)),
+                     x -> x[34:]),
+                   ' ') AS text,
+                 lang, source, n_chars
           FROM '{SF_DIR}/documents.parquet', (VALUES {', '.join(f'({i})' for i in range(REPLICAS))}) r(i)
         ) TO '{SCALED_DIR}/documents.parquet'
         (FORMAT PARQUET, FILE_SIZE_BYTES 524288)

@@ -59,6 +59,7 @@ class TestContract:
             "kg_triples_zeroshot",
             "kg_entities_tokenmode",
             "kg_entities_onnx",
+            "kg_entities_tokenmode_onnx",
             "kg_triples_onnx",
         }
 

@@ -111,3 +111,81 @@ class TestConnectedComponents:
         # same normalized subject → same canonical id
         ids = {r.subj_id for r in rows}
         assert len(ids) == 1
+
+
+class TestStarConnectedComponents:
+    """large-star/small-star route (round 2): identical assignments to
+    the driver union-find and min-label propagation on every graph
+    shape, including long chains where propagation needs O(diameter)
+    rounds but star needs O(log n)."""
+
+    def _assign(self, spark, pairs, algorithm, **kw):
+        from gliner_spark.operators.canonicalize import connected_components
+
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        out = connected_components(edges, algorithm=algorithm, **kw)
+        return {r.node: r.component for r in out.collect()}
+
+    def _reference(self, pairs):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in pairs:
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min = {}
+        for n in parent:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        return {n: comp_min[find(n)] for n in parent}
+
+    def test_star_matches_reference_on_shapes(self, spark):
+        import random
+
+        rng = random.Random(17)
+        cases = [
+            [(i, i + 1) for i in range(20)],                      # long chain
+            [(0, i) for i in range(1, 8)],                        # star
+            [(i, j) for i in range(5) for j in range(i + 1, 5)],  # clique
+            [(0, 1), (1, 2), (2, 0), (5, 6), (7, 7)],             # cycle + iso + self-loop
+            [(rng.randrange(40), rng.randrange(40)) for _ in range(60)],
+        ]
+        for pairs in cases:
+            exp = self._reference(pairs)
+            got = self._assign(spark, pairs, "star")
+            assert got == exp, pairs
+
+    def test_all_algorithms_agree(self, spark):
+        pairs = [(i, i + 1) for i in range(12)] + [(100, 101), (101, 102), (200, 200)]
+        exp = self._reference(pairs)
+        for algo in ("driver", "propagation", "star"):
+            got = self._assign(spark, pairs, algo, max_driver_edges=0 if algo != "driver" else 10**9)
+            assert got == exp, algo
+
+    def test_auto_routes_star_above_threshold(self, spark, monkeypatch):
+        # force the big-graph route and ensure star (not propagation)
+        from gliner_spark.operators import canonicalize as cz
+
+        called = {}
+        orig = cz._cc_star
+
+        def spy(*a, **k):
+            called["star"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(cz, "_cc_star", spy)
+        pairs = [(0, 1), (1, 2)]
+        got = self._assign(spark, pairs, "auto", max_driver_edges=0)
+        assert called.get("star") and got == self._reference(pairs)
+
+    def test_unknown_algorithm(self, spark):
+        with pytest.raises(ValueError, match="algorithm"):
+            self._assign(spark, [(0, 1)], "graphx")

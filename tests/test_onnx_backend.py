@@ -282,3 +282,52 @@ class TestOnnxSparkPath:
             ).collect()
         )
         assert rows == rows2
+
+
+class TestOnnxTokenPipeline:
+    """Token-mode ONNX graph: feed without the span grid, (3, B, W, C)
+    position-first logits re-laid for the min-rule decoder."""
+
+    def _pipe(self, **cfg):
+        from gliner_spark.model.onnx_backend import OnnxTokenEncoder
+        from gliner_spark.model.ort_testing import FakeTokenSession
+
+        return GLiNERPipeline(
+            LABELS,
+            config=PipelineConfig(mode="token", threshold=0.5, **cfg),
+            encoder=OnnxTokenEncoder(session=FakeTokenSession()),
+        )
+
+    def test_end_to_end_token_entities(self):
+        pipe = self._pipe()
+        ents = pipe.predict_entities(TEXTS[0], threshold=0.4)
+        for e in ents:
+            assert TEXTS[0][e["start"] : e["end"]] == e["text"]
+            assert e["label"] in LABELS
+
+    def test_deterministic(self):
+        a = self._pipe().predict_entities(TEXTS[0], threshold=0.4)
+        b = self._pipe().predict_entities(TEXTS[0], threshold=0.4)
+        assert a == b
+
+    def test_feed_filter_drops_span_grid(self):
+        from gliner_spark.model.onnx_backend import build_span_feed, prepare_feed_for_session
+        from gliner_spark.model.ort_testing import FakeTokenSession
+        from gliner_spark.model.subword import DeterministicSubwordTokenizer
+
+        feed, _ = build_span_feed(
+            [TEXTS[0].split()], LABELS, DeterministicSubwordTokenizer()
+        )
+        with pytest.warns(UserWarning, match="span_idx|span_mask"):
+            prepared = prepare_feed_for_session(FakeTokenSession(), feed)
+        assert "span_idx" not in prepared and "span_mask" not in prepared
+
+    def test_bad_logits_shape_rejected(self):
+        from gliner_spark.model.onnx_backend import OnnxTokenEncoder
+
+        class WrongShape(FakeSpanSession):  # span layout, not token layout
+            pass
+
+        enc = OnnxTokenEncoder(session=WrongShape())
+        with pytest.raises(ValueError, match=r"\(3, B, W, C\)"):
+            enc.token_probs([TEXTS[0].split()], LABELS)

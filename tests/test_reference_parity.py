@@ -492,7 +492,6 @@ class TestDataProcessingParity:
                 seqs.append(wids)
             skips = [rng.randint(0, 3) for _ in seqs]
             cases.append((seqs, skips))
-        texts_stub = [[["x"]] * 1]  # reference only uses len(texts)
         for seqs, skips in cases:
             for token_level in (False, True):
                 exp = ref_utils.prepare_word_mask(
