@@ -129,12 +129,11 @@ class FakeSpanSession:
         )
         B, S = input_ids.shape
         D = self.dim
-        # M1 stand-in: per-id embedding, zeroed where attention == 0.
-        emb = np.zeros((B, S, D))
-        for b in range(B):
-            for s in range(S):
-                if attention[b, s]:
-                    emb[b, s] = self._id_embedding(int(input_ids[b, s]))
+        # M1 stand-in: per-id embedding (vectorized: one lookup per
+        # DISTINCT id, then a gather), zeroed where attention == 0.
+        uniq, inv = np.unique(input_ids, return_inverse=True)
+        table = np.stack([self._id_embedding(int(u)) for u in uniq])
+        emb = table[inv.reshape(B, S)] * attention[:, :, None]
         # M2: label prompt features at <<ENT>> positions (same count per
         # row — every row shares the prompt).
         ent_pos = [np.nonzero(input_ids[b] == self.ent_token_id)[0] for b in range(B)]
@@ -236,9 +235,13 @@ class FakeRelexSession(FakeSpanSession):
 
     output_names: Sequence[str] = RELEX_OUTPUT_NAMES
 
-    def __init__(self, *args, threshold: float = 0.5, **kwargs):
+    def __init__(self, *args, threshold: float = 0.5, top_k: int = 64, **kwargs):
         super().__init__(*args, **kwargs)
         self.threshold = threshold
+        # max confident spans entering the relex tail — the reference's
+        # top_k selection cap (base.py:2064-2068); bounds the E² pair
+        # grid exactly as the real model does
+        self.top_k = top_k
 
     def run(self, output_names, feed: Dict[str, np.ndarray]):
         state = self._encode(feed)
@@ -268,8 +271,14 @@ class FakeRelexSession(FakeSpanSession):
             flat = logits[b].reshape(W * K, -1)[: L * K]
             sidx = state["span_idx"][b][: L * K]
             valid = sidx[:, 1] < L
-            keep = (flat.max(axis=1) > thr_logit) & valid
+            maxp = flat.max(axis=1)
+            keep = (maxp > thr_logit) & valid
             packed = np.nonzero(keep)[0]
+            if len(packed) > self.top_k:
+                # top_k by score (stable), then ascending flat order —
+                # the packed-order contract (base.py:2051-2074)
+                best = np.argsort(-maxp[packed], kind="stable")[: self.top_k]
+                packed = np.sort(packed[best])
             reps = state["reps"][b][packed]
             E = len(packed)
             if E < 2 or C_rel == 0:
