@@ -74,3 +74,53 @@ class TestExchangeBudget:
         df = read_pages(spark, pages_path).where(F.trim("text") != "")
         # formatted mode tags codegen'd operators with "[codegen id : N]"
         assert "codegen id" in formatted_plan(df)
+
+
+class TestRound2PlanShapes:
+    """Physical-plan audits for the round-2 operators: the scale paths
+    must never degrade to cartesian products or driver collects."""
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(8)]) for i in range(64)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_chunked_cosine_no_cartesian(self, vecs):
+        from gliner_spark.operators.dedup import embedding_cosine_pairs
+
+        plan = formatted_plan(embedding_cosine_pairs(vecs, threshold=0.9))
+        assert "CartesianProduct" not in plan
+        assert "FlatMapGroupsInPandas" in plan  # the chunk-pair matmul
+        # chunk-pair replication rides broadcast joins, not shuffles of
+        # the corpus against itself
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_blocked_cosine_is_equi_join(self, vecs):
+        from gliner_spark.functions.vectors import sign_bucket
+        from gliner_spark.operators.dedup import embedding_cosine_pairs
+
+        blocked = vecs.withColumn("bucket", sign_bucket(F.col("embedding"), 4))
+        plan = formatted_plan(
+            embedding_cosine_pairs(blocked, threshold=0.9, block_col="bucket")
+        )
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan  # bucket equi-join
+
+    def test_star_cc_no_cartesian(self, spark):
+        from gliner_spark.operators.canonicalize import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "src long, dst long"
+        )
+        out = connected_components(edges, algorithm="star")
+        # result is correct AND the star rounds used only equi-joins +
+        # aggregates (localCheckpoint truncates lineage, so audit the
+        # final assignment plan and assert on the computed result)
+        assert "CartesianProduct" not in formatted_plan(out)
+        comps = {r.node: r.component for r in out.collect()}
+        assert set(comps.values()) == {0}

@@ -1,0 +1,59 @@
+"""Custom stateful streaming (applyInPandasWithState): cross-batch
+exact dedup with checkpointed state surviving restarts."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gliner_spark.streaming.stateful import streaming_exact_dedup
+
+SCHEMA = "doc_id long, text string"
+
+
+def _drain(spark, src, out, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+class TestStreamingExactDedup:
+    def test_cross_batch_dedup_survives_restart(self, spark, tmp_path):
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        batch1 = [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")]
+        spark.createDataFrame(batch1, SCHEMA).write.mode("append").parquet(src)
+        _drain(spark, src, out, ckpt)
+        got1 = spark.read.parquet(out)
+        texts1 = sorted(r.text for r in got1.collect())
+        assert texts1 == ["alpha doc", "beta doc"]  # within-batch dedup
+        # deterministic winner: smallest row wins within the batch
+        assert {r.doc_id for r in got1.where(F.col("text") == "alpha doc").collect()} == {1}
+
+        # NEW query run (restart) with the same checkpoint: previously
+        # seen content is dropped even though it arrives in a new batch
+        batch2 = [(4, "beta doc"), (5, "gamma doc")]
+        spark.createDataFrame(batch2, SCHEMA).write.mode("append").parquet(src)
+        _drain(spark, src, out, ckpt)
+        texts2 = sorted(r.text for r in spark.read.parquet(out).collect())
+        assert texts2 == ["alpha doc", "beta doc", "gamma doc"]
+
+    def test_state_counts_duplicates(self, spark, tmp_path):
+        # the state keeps a running count; feeding the same content N
+        # times emits exactly one row
+        src = str(tmp_path / "in2")
+        out = str(tmp_path / "out2")
+        ckpt = str(tmp_path / "ckpt2")
+        rows = [(i, "same text") for i in range(10)]
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+        _drain(spark, src, out, ckpt)
+        assert spark.read.parquet(out).count() == 1
