@@ -541,3 +541,126 @@ class TestTokenizerParity:
         for _ in range(300):
             text = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
             assert word_tokenize(text) == [(t, s, e) for (t, s, e) in splitter(text)], repr(text)
+
+
+@pytest.fixture(scope="module")
+def ref_processor(ref):
+    """Load the reference's processor module (T1/T2 prompt construction)
+    under extended torch submodule fakes."""
+    created = []
+
+    def fake_mod(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        created.append(name)
+        return m
+
+    # `from torch.utils.data import DataLoader` / `from torch.nn.utils.rnn
+    # import pad_sequence` need real module entries, not attribute stubs
+    fake_mod("torch.utils")
+    fake_mod("torch.utils.data", DataLoader=type("DataLoader", (), {}))
+    fake_mod("torch.nn")
+    fake_mod("torch.nn.utils")
+    fake_mod("torch.nn.utils.rnn", pad_sequence=lambda *a, **k: None)
+    try:
+        _load(
+            "refg.data_processing.utils",
+            f"{REF}/data_processing/utils.py",
+            "refg.data_processing",
+        )
+        processor = _load(
+            "refg.data_processing.processor",
+            f"{REF}/data_processing/processor.py",
+            "refg.data_processing",
+        )
+    except Exception as e:
+        for n in created:
+            sys.modules.pop(n, None)
+        pytest.skip(f"reference processor not loadable: {e!r}")
+    yield processor
+    for n in created:
+        sys.modules.pop(n, None)
+
+
+class TestPromptConstructionParity:
+    """Run the reference's OWN prepare_inputs (processor.py:152-197
+    entity; :1813-1862 relex) against kernel/prompts on random cases."""
+
+    def _stub(self, mod):
+        stub = types.SimpleNamespace(
+            ent_token="<<ENT>>", sep_token="<<SEP>>", rel_token="<<REL>>"
+        )
+        base = mod.BaseProcessor
+        stub._select_entities = base._select_entities.__get__(stub)
+        stub._maybe_remap_entities = base._maybe_remap_entities.__get__(stub)
+        stub._extra_prompt_tokens = base._extra_prompt_tokens.__get__(stub)
+        return stub
+
+    def test_entity_prompt_parity(self, ref_processor):
+        from gliner_spark.kernel.prompts import build_entity_prompt
+
+        stub = self._stub(ref_processor)
+        rng = random.Random(77)
+        vocab = ["alpha", "beta", "gamma", "x-ray", "naïve", "42", "..."]
+        for _ in range(60):
+            labels = [
+                rng.choice(["person", "org", "multi word label", "ößü"])
+                for _ in range(rng.randrange(1, 6))
+            ]
+            labels = list(dict.fromkeys(labels))
+            tokens = [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+            exp_texts, exp_lens = ref_processor.BaseProcessor.prepare_inputs(
+                stub, [tokens], labels
+            )
+            got_tokens, got_len = build_entity_prompt(tokens, labels)
+            assert got_tokens == exp_texts[0]
+            assert got_len == exp_lens[0]
+
+    def test_relex_prompt_parity(self, ref_processor):
+        from gliner_spark.kernel.prompts import build_relex_prompt
+
+        stub = self._stub(ref_processor)
+        rng = random.Random(78)
+        for _ in range(60):
+            labels = list(
+                dict.fromkeys(
+                    rng.choice(["person", "org", "loc"]) for _ in range(rng.randrange(1, 5))
+                )
+            )
+            rels = list(
+                dict.fromkeys(
+                    rng.choice(["works_at", "born in", "x"]) for _ in range(rng.randrange(0, 4))
+                )
+            )
+            tokens = ["tok%d" % i for i in range(rng.randrange(0, 9))]
+            exp_texts, exp_lens = (
+                ref_processor.RelationExtractionSpanProcessor.prepare_inputs(
+                    stub, [tokens], labels, relations=rels
+                )
+            )
+            got_tokens, got_len = build_relex_prompt(tokens, labels, rels)
+            assert got_tokens == exp_texts[0]
+            assert got_len == exp_lens[0]
+
+
+class TestSpanEnumerationParity:
+    """T5: the reference's own prepare_span_idx (utils.py:215-252)
+    against kernel/spans.span_idx_array, exhaustively for small grids."""
+
+    def test_exhaustive_grid(self, ref_processor):
+        import numpy as np
+
+        from gliner_spark.kernel.spans import span_idx_array
+
+        ref_utils = sys.modules["refg.data_processing.utils"]
+        for num_tokens in range(0, 15):
+            for max_width in range(1, 14):
+                exp = ref_utils.prepare_span_idx(num_tokens, max_width)
+                got = span_idx_array(num_tokens, max_width)
+                assert got.shape == (len(exp), 2)
+                assert [tuple(r) for r in np.asarray(got)] == exp, (
+                    num_tokens,
+                    max_width,
+                )
