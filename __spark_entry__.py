@@ -191,6 +191,41 @@ def q_kg_entities_tokenmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
 
 
+def q_kg_entities_convspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternative span-representation family (conv_mean window grid,
+    span_rep.py:157-267) through the full distributed path — rows-only
+    check (learned-weight analog)."""
+    ents = extract_entities(
+        _pages(spark, sf_dir), labels=ENT_LABELS, threshold=0.55, lang_col=None,
+        span_mode="conv_mean",
+    )
+    return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
+
+
+def q_kg_entities_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 RNN-smoothed word embeddings (layers.py:9-64 analog) — the
+    contextual scoring path — rows-only check."""
+    ents = extract_entities(
+        _pages(spark, sf_dir), labels=ENT_LABELS, threshold=0.55, lang_col=None,
+        num_rnn_layers=1,
+    )
+    return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
+
+
+def q_kg_triples_adjmode_gcn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint relex with the GCN adjacency predictor
+    (relations_layers.py:186-269 analog) — rows-only check."""
+    t = extract_triples(
+        _pages(spark, sf_dir),
+        labels=ENT_LABELS,
+        relations=RELATIONS,
+        threshold=0.5,
+        lang_col=None,
+        relations_mode="gcn",
+    )
+    return _as_doc_id(t).select("doc_id", "subj_text", "pred", "obj_text", "score")
+
+
 def q_kg_entities_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION backend path: full ONNX contract (T1 prompt → T3
     subword tokenize → T4 word masks → span grid feed → session.run →
@@ -532,6 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gazetteer_entities": q_kg_gazetteer_entities,
         "kg_entities_zeroshot": q_kg_entities_zeroshot,
         "kg_entities_tokenmode": q_kg_entities_tokenmode,
+        "kg_entities_convspan": q_kg_entities_convspan,
+        "kg_entities_rnn": q_kg_entities_rnn,
+        "kg_triples_adjmode_gcn": q_kg_triples_adjmode_gcn,
         "kg_entities_onnx": q_kg_entities_onnx,
         "kg_entities_tokenmode_onnx": q_kg_entities_tokenmode_onnx,
         "kg_triples_onnx": q_kg_triples_onnx,

@@ -58,6 +58,9 @@ class TestContract:
             "kg_entities_zeroshot",
             "kg_triples_zeroshot",
             "kg_entities_tokenmode",
+            "kg_entities_convspan",
+            "kg_entities_rnn",
+            "kg_triples_adjmode_gcn",
             "kg_entities_onnx",
             "kg_entities_tokenmode_onnx",
             "kg_triples_onnx",
