@@ -37,17 +37,17 @@ class TestSubmit:
         out = str(tmp_path / "triples")
         man = str(tmp_path / "manifest")
 
-        def submit(run_id):
+        def submit(run_id, master="local[2]", out_dir=None, man_dir=None):
             cmd = [
                 SPARK_SUBMIT,
-                "--master", "local[2]",
+                "--master", master,
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.sql.shuffle.partitions=4",
                 "--py-files", zip_path,
                 os.path.join(REPO, "scripts", "run_kg_job.py"),
                 "--pages", pages_path,
-                "--out", out,
-                "--manifest", man,
+                "--out", out_dir or out,
+                "--manifest", man_dir or man,
                 "--labels", "person,organization",
                 "--relations", "works_at",
                 "--gazetteer", gaz_path,
@@ -73,3 +73,14 @@ class TestSubmit:
 
         got = spark.read.parquet(out)
         assert {"url", "subj_text", "pred", "obj_text", "score"} <= set(got.columns)
+
+        # north-rule shape: the SAME submit at a 4x-larger cluster size
+        # (local[8]) produces byte-identical triples — parallelism never
+        # changes results (the cross-process determinism contract)
+        out8 = str(tmp_path / "triples8")
+        man8 = str(tmp_path / "manifest8")
+        big = submit("r8", master="local[8]", out_dir=out8, man_dir=man8)
+        assert big["chunks_run"] == 2
+        rows_small = sorted(map(tuple, got.collect()))
+        rows_big = sorted(map(tuple, spark.read.parquet(out8).collect()))
+        assert rows_small == rows_big
