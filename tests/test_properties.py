@@ -115,3 +115,94 @@ class TestPipelineByteIdentity:
         )
         for e in pipe.predict_entities(text):
             assert text[e["start"]:e["end"]] == e["text"]
+
+
+class TestPackingProperties:
+    """Hypothesis: packing is identity-preserving for ANY sequence set."""
+
+    @given(
+        seqs=st.lists(
+            st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=12),
+            min_size=1,
+            max_size=8,
+        ),
+        max_len=st.integers(min_value=4, max_value=20),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_pack_roundtrip_and_mask_identity(self, seqs, max_len):
+        import numpy as np
+
+        from gliner_spark.kernel.packing import (
+            block_diag_mask,
+            pack_batch,
+            unpack_hidden,
+        )
+        from tests.test_packing import mixing_encoder
+
+        packed = pack_batch(seqs, max_length=max_len)
+        # roundtrip: every request recoverable (after truncation)
+        rec = unpack_hidden(packed.input_ids[:, :, None], packed)
+        for seq, r in zip(seqs, rec):
+            assert r[:, 0].tolist() == list(seq)[:max_len]
+        # identity: packed outputs == per-doc baseline under the mask
+        hidden = mixing_encoder(
+            packed.input_ids, packed.attention_mask, block_diag_mask(packed.segment_ids)
+        )
+        unpacked = unpack_hidden(hidden, packed)
+        for seq, got in zip(seqs, unpacked):
+            t = list(seq)[:max_len]
+            ids = np.asarray([t], dtype=np.int64)
+            base = mixing_encoder(
+                ids, np.ones_like(ids), np.ones((1, len(t), len(t)), dtype=bool)
+            )[0]
+            assert np.allclose(base, got)
+
+
+class TestSubwordFeedProperties:
+    """Hypothesis: the ONNX feed is well-formed for ANY word batch."""
+
+    @given(
+        batch=st.lists(
+            st.lists(
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",), blacklist_characters=""
+                    ),
+                    min_size=1,
+                    max_size=12,
+                ),
+                min_size=1,
+                max_size=15,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        n_labels=st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_feed_invariants(self, batch, n_labels):
+        import numpy as np
+
+        from gliner_spark.model.onnx_backend import build_span_feed
+        from gliner_spark.model.subword import DeterministicSubwordTokenizer
+
+        labels = [f"label{i}" for i in range(n_labels)]
+        feed, meta = build_span_feed(batch, labels, DeterministicSubwordTokenizer(), max_width=5)
+        B = len(batch)
+        wm = feed["words_mask"]
+        att = feed["attention_mask"]
+        ids = feed["input_ids"]
+        assert meta.prompt_len == 2 * n_labels + 1
+        for b, words in enumerate(batch):
+            # one nonzero mask entry per TEXT word, numbered 1..len
+            nz = wm[b][wm[b] > 0]
+            assert nz.tolist() == list(range(1, len(words) + 1))
+            # mask nonzero only where attention is on
+            assert (att[b][wm[b] > 0] == 1).all()
+            # every row has exactly n_labels ENT markers
+            assert (ids[b] == DeterministicSubwordTokenizer.ENT_TOKEN_ID).sum() == n_labels
+            # span grid covers exactly L*K real spans
+            L = meta.word_counts[b]
+            assert feed["span_mask"][b].sum() == sum(
+                1 for s in range(L) for k in range(5) if s + k < L
+            )
