@@ -82,3 +82,48 @@ def run_streaming_extraction(
     else:
         q.awaitTermination()
     return q
+
+
+def run_streaming_kg(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame],
+    schema: str = PAGES_SCHEMA,
+    dedup_text_col: str = "text",
+    timeout_sec: int | None = None,
+):
+    """Continuous KG construction with cross-batch dedup in ONE query:
+
+      readStream(pages) → applyInPandasWithState exact dedup (a page
+      whose content was ever seen — in this run or before the last
+      restart — is dropped; state in the checkpoint) → foreachBatch(
+      extraction transform → idempotent per-epoch partition write).
+
+    The stateful dedup guards an append-only triples sink against crawl
+    re-fetches without any batch-side join, and its state is one row
+    per distinct content hash. ``trigger(availableNow=True)`` drains
+    then stops — cron-style incremental runs.
+    """
+    from .stateful import streaming_exact_dedup
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stream = stream_pages(spark, input_path, schema)
+    deduped = streaming_exact_dedup(stream, text_col=dedup_text_col).drop(
+        "content_hash"
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        out = transform(batch_df).withColumn("ingest_batch", F.lit(batch_id))
+        out.write.mode("overwrite").partitionBy("ingest_batch").parquet(out_path)
+
+    q = (
+        deduped.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec or 300)
+    return q

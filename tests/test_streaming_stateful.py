@@ -57,3 +57,44 @@ class TestStreamingExactDedup:
         spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
         _drain(spark, src, out, ckpt)
         assert spark.read.parquet(out).count() == 1
+
+
+class TestStreamingKgWithDedup:
+    """One query: stateful dedup feeding the extraction transform."""
+
+    def test_dedup_then_extract_across_restarts(self, spark, tmp_path):
+        from gliner_spark.operators.extract import extract_entities
+        from gliner_spark.streaming.ingest import run_streaming_kg
+
+        src = str(tmp_path / "pages")
+        out = str(tmp_path / "ents")
+        ckpt = str(tmp_path / "kgckpt")
+        gaz = {"acme": "organization"}
+
+        def transform(df):
+            return extract_entities(
+                df, ["organization"], gazetteer=gaz, scoring="gazetteer",
+                min_partitions=0,
+            )
+
+        pages_schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+        rows1 = [
+            ("u1", None, None, "acme builds engines", "en"),
+            ("u2", None, None, "acme builds engines", "en"),  # exact dup
+            ("u3", None, None, "other text here", "en"),
+        ]
+        spark.createDataFrame(rows1, pages_schema).write.mode("append").parquet(src)
+        run_streaming_kg(spark, src, out, ckpt, transform, schema=pages_schema)
+        got1 = spark.read.parquet(out)
+        # one surviving 'acme builds engines' page → one entity row
+        assert got1.count() == 1 and got1.first().text == "acme"
+
+        # restart with a re-crawl of the same content + one new page
+        rows2 = [
+            ("u4", None, None, "acme builds engines", "en"),  # seen before
+            ("u5", None, None, "acme ships parts", "en"),
+        ]
+        spark.createDataFrame(rows2, pages_schema).write.mode("append").parquet(src)
+        run_streaming_kg(spark, src, out, ckpt, transform, schema=pages_schema)
+        got2 = spark.read.parquet(out)
+        assert got2.count() == 2  # u4 deduped by state, u5 extracted
