@@ -82,12 +82,17 @@ def greedy_search(
     own greedy_search in tests/test_reference_parity.py).
     """
     kept: List[Span] = []
-    ks: List[int] = []  # kept starts / ends as parallel arrays
-    ke: List[int] = []
+    n = len(spans)
+    # preallocated kept-endpoint arrays: the overlap check against the
+    # whole kept set stays vectorized WITHOUT a list→array conversion
+    # per candidate (the profiler's top per-call overhead)
+    ks = np.empty(n, dtype=np.int64)
+    ke = np.empty(n, dtype=np.int64)
+    cnt = 0
     for span in sorted(spans, key=lambda x: -x.score):
-        if kept:
-            a_s = np.asarray(ks)
-            a_e = np.asarray(ke)
+        if cnt:
+            a_s = ks[:cnt]
+            a_e = ke[:cnt]
             same = (a_s == span.start) & (a_e == span.end)
             iv = ~((span.start > a_e) | (a_s > span.end))
             if not flat_ner:
@@ -99,8 +104,9 @@ def greedy_search(
             if conflict.any():
                 continue
         kept.append(span)
-        ks.append(span.start)
-        ke.append(span.end)
+        ks[cnt] = span.start
+        ke[cnt] = span.end
+        cnt += 1
     return sorted(kept, key=lambda x: x.start)
 
 

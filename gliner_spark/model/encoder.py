@@ -196,7 +196,13 @@ class DeterministicEncoder:
                 self._span_cache.clear()
             for k, r in zip(missing, rep):
                 self._span_cache[k] = r
-        return np.stack([self._span_cache[k] for k in keys])
+        # fill a preallocated output instead of np.stack (which
+        # expand_dims+concatenates row by row — profiler hotspot)
+        out = np.empty((len(keys), self.dim))
+        cache = self._span_cache
+        for i, k in enumerate(keys):
+            out[i] = cache[k]
+        return out
 
     def rnn_smooth(self, token_embs: np.ndarray, num_layers: int = 1) -> np.ndarray:
         """M4 analog: bidirectional recurrent smoothing of word
@@ -516,6 +522,28 @@ class DeterministicEncoder:
         if len(head_reps) == 0:
             return np.zeros((0, len(rel_embs)))
         pair = np.tanh(_mm(np.concatenate([head_reps, tail_reps], axis=1), self.w_pair))
+        pair /= np.linalg.norm(pair, axis=1, keepdims=True) + 1e-9
+        return (_mm(pair, rel_embs.T) - self.margin) / self.temperature
+
+    def pair_relation_logits_packed(
+        self, packed_reps: np.ndarray, pairs: np.ndarray, rel_embs: np.ndarray
+    ) -> np.ndarray:
+        """Same scorer, factored for the E ≪ N structure of the pair
+        grid: [h ‖ t] @ W = h @ W_top + t @ W_bot, so the two D×D
+        projections run ONCE per packed span (E rows) and each of the N
+        pairs is a vector add + tanh instead of a 2D-wide matmul row.
+        ~8× less matmul work when N ≈ E² (the hot path the profiler
+        flagged). Gazetteer-mode zero reps produce exactly 0 either
+        way, so the hash-gated queries are unchanged; nonzero paths may
+        differ from the concat form in the last ulp (different
+        summation grouping) — both forms are fixed-order and therefore
+        cross-process deterministic, which is the real contract."""
+        if len(pairs) == 0:
+            return np.zeros((0, len(rel_embs)))
+        D = self.dim
+        proj_h = _mm(packed_reps, self.w_pair[:D])  # (E, D)
+        proj_t = _mm(packed_reps, self.w_pair[D:])  # (E, D)
+        pair = np.tanh(proj_h[pairs[:, 0]] + proj_t[pairs[:, 1]])
         pair /= np.linalg.norm(pair, axis=1, keepdims=True) + 1e-9
         return (_mm(pair, rel_embs.T) - self.margin) / self.temperature
 

@@ -524,10 +524,11 @@ class GLiNERPipeline:
             sel = adj[rows, cols] > adj_thr
             pairs = np.stack([rows[sel], cols[sel]], axis=1)
             if len(pairs):
-                # --- step 4: pair×relation scoring ---
-                head = packed_reps[pairs[:, 0]]
-                tail = packed_reps[pairs[:, 1]]
-                rel_logits = self.encoder.pair_relation_logits(head, tail, self.rel_embs)
+                # --- step 4: pair×relation scoring (packed form:
+                # span-level projections once, pair-level adds) ---
+                rel_logits = self.encoder.pair_relation_logits_packed(
+                    packed_reps, pairs, self.rel_embs
+                )
                 rel_idx = pairs
                 rel_probs = sigmoid(rel_logits)
                 if self.patterns:
