@@ -81,6 +81,25 @@ def greedy_search(
     has_overlapping_nested (differential-tested against the reference's
     own greedy_search in tests/test_reference_parity.py).
     """
+    if flat_ner and not multi_label:
+        # fast path for the default mode: with flat NER and single
+        # labels, "conflicts with any kept span" ⟺ "any token position
+        # in [start, end] is already covered" (kept spans are disjoint
+        # and identical spans cover their own positions), so one boolean
+        # coverage array replaces the per-candidate kept-set scan.
+        # Decision-identical to the general path: same stable sort, same
+        # acceptance predicate.
+        if not spans:
+            return []
+        covered = np.zeros(max(s.end for s in spans) + 1, dtype=bool)
+        kept = []
+        for span in sorted(spans, key=lambda x: -x.score):
+            seg = covered[span.start : span.end + 1]
+            if seg.any():
+                continue
+            seg[:] = True
+            kept.append(span)
+        return sorted(kept, key=lambda x: x.start)
     kept: List[Span] = []
     n = len(spans)
     # preallocated kept-endpoint arrays: the overlap check against the
