@@ -19,6 +19,14 @@ from .decoding import (
     decode_relations,
 )
 from .charmap import map_spans_to_char, format_relations
+from .wordmask import word_mask, word_masks
+from .packing import (
+    PackedBatch,
+    block_diag_mask,
+    first_fit_pack,
+    pack_batch,
+    unpack_hidden,
+)
 
 __all__ = [
     "word_tokenize",
@@ -41,4 +49,11 @@ __all__ = [
     "decode_relations",
     "map_spans_to_char",
     "format_relations",
+    "word_mask",
+    "word_masks",
+    "PackedBatch",
+    "block_diag_mask",
+    "first_fit_pack",
+    "pack_batch",
+    "unpack_hidden",
 ]

@@ -1,1 +1,2 @@
-from .ingest import run_streaming_extraction, stream_pages  # noqa: F401
+from .ingest import run_streaming_extraction, run_streaming_kg, stream_pages  # noqa: F401
+from .stateful import streaming_exact_dedup, streaming_first_seen  # noqa: F401
