@@ -150,48 +150,47 @@ def _cc_star(edge_rows: DataFrame, src: str, dst: str, max_iter: int) -> DataFra
     groupBy (neighborhood min) + one join; lineage truncated per round
     with localCheckpoint.
     """
-    F_ = F
     node_type = edge_rows.schema[src].dataType.simpleString()
     all_nodes = (
-        edge_rows.select(F_.col(src).alias("node"))
-        .unionByName(edge_rows.select(F_.col(dst).alias("node")))
+        edge_rows.select(F.col(src).alias("node"))
+        .unionByName(edge_rows.select(F.col(dst).alias("node")))
         .distinct()
     )
     # canonical undirected edges (u > v), self-loops dropped
-    e = edge_rows.where(F_.col(src) != F_.col(dst))
+    e = edge_rows.where(F.col(src) != F.col(dst))
     edges = (
         e.select(
-            F_.greatest(F_.col(src), F_.col(dst)).alias("u"),
-            F_.least(F_.col(src), F_.col(dst)).alias("v"),
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
         ).distinct()
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         # ---- large-star ----
         sym = edges.unionByName(
-            edges.select(F_.col("v").alias("u"), F_.col("u").alias("v"))
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = sym.groupBy("u").agg(F_.min("v").alias("mn"))
-        mins = mins.select("u", F_.least("u", "mn").alias("m"))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
         large = (
             sym.join(mins, "u")
-            .where(F_.col("v") > F_.col("u"))  # larger neighbors only
-            .select(F_.col("v").alias("x"), F_.col("m"))
-            .where(F_.col("x") != F_.col("m"))
+            .where(F.col("v") > F.col("u"))  # larger neighbors only
+            .select(F.col("v").alias("x"), F.col("m"))
+            .where(F.col("x") != F.col("m"))
             .select(
-                F_.greatest("x", "m").alias("u"), F_.least("x", "m").alias("v")
+                F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v")
             )
             .distinct()
         )
         # ---- small-star (on u > v oriented edges) ----
-        mins2 = large.groupBy("u").agg(F_.min("v").alias("m"))
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
         pairs = large.join(mins2, "u")
         small = (
-            pairs.select(F_.col("v").alias("x"), "m")
-            .unionByName(pairs.select(F_.col("u").alias("x"), "m"))
-            .where(F_.col("x") != F_.col("m"))
+            pairs.select(F.col("v").alias("x"), "m")
+            .unionByName(pairs.select(F.col("u").alias("x"), "m"))
+            .where(F.col("x") != F.col("m"))
             .select(
-                F_.greatest("x", "m").alias("u"), F_.least("x", "m").alias("v")
+                F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v")
             )
             .distinct()
         )
@@ -207,14 +206,14 @@ def _cc_star(edge_rows: DataFrame, src: str, dst: str, max_iter: int) -> DataFra
 
     # star forest: child u → root v (= component min); roots self-map;
     # groupBy-min is a safety net if max_iter stopped pre-convergence.
-    assign = edges.groupBy(F_.col("u").alias("node")).agg(
-        F_.min("v").alias("component")
+    assign = edges.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
     )
     return (
         all_nodes.join(assign, "node", "left")
         .select(
             "node",
-            F_.coalesce(F_.col("component"), F_.col("node"))
+            F.coalesce(F.col("component"), F.col("node"))
             .cast(node_type)
             .alias("component"),
         )
