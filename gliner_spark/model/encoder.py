@@ -110,6 +110,7 @@ class DeterministicEncoder:
         self.w_adj_gcn_proj = rng.standard_normal((dim, dim)) * s
         self.w_adj_gat = rng.standard_normal((dim, dim)) * s
         self._token_cache: Dict[str, np.ndarray] = {}
+        self._score_cache: Dict[tuple, np.ndarray] = {}
 
     # ---- embeddings -----------------------------------------------------
 
@@ -428,6 +429,53 @@ class DeterministicEncoder:
     def score_spans(self, span_reps: np.ndarray, label_embs: np.ndarray) -> np.ndarray:
         """(S, D) × (C, D) → (S, C) logits; the M6 einsum 'join'."""
         return (_mm(span_reps, label_embs.T) - self.margin) / self.temperature
+
+    def score_spans_tokens(
+        self,
+        tokens: Sequence[str],
+        span_idx: np.ndarray,
+        label_embs: np.ndarray,
+        label_key: str,
+    ) -> np.ndarray:
+        """Span×label logits with a cross-document cache keyed by
+        (label set, start token, end token) — the span-rep cache
+        extended one stage: a hit skips the rep gather AND the score
+        einsum. Bit-identical to
+        ``score_spans(span_representations_tokens(...))`` — each einsum
+        row is an independent fixed-order reduction, so caching cannot
+        change values. ``label_key`` must uniquely identify the label
+        embedding set (the encoder singleton is shared across pipelines
+        with different label sets, e.g. prompt-mode relex)."""
+        L = len(tokens)
+        C = label_embs.shape[0]
+        if L == 0:
+            return np.zeros((len(span_idx), C))
+        starts = np.clip(span_idx[:, 0], 0, L - 1)
+        ends = np.clip(span_idx[:, 1], 0, L - 1)
+        cache = self._score_cache
+        keys = [
+            (label_key, tokens[s], tokens[e]) for s, e in zip(starts, ends)
+        ]
+        missing = [k for k in dict.fromkeys(keys) if k not in cache]
+        if missing:
+            cat = np.concatenate(
+                [
+                    np.stack([self.token_embedding(a) for _lk, a, _b in missing]),
+                    np.stack([self.token_embedding(b) for _lk, _a, b in missing]),
+                ],
+                axis=1,
+            )
+            rep = np.tanh(_mm(cat, self.w_span))
+            rep /= np.linalg.norm(rep, axis=1, keepdims=True) + 1e-9
+            rows = (_mm(rep, label_embs.T) - self.margin) / self.temperature
+            if len(cache) > 2_000_000:  # bound executor memory
+                cache.clear()
+            for k, r in zip(missing, rows):
+                cache[k] = r
+        out = np.empty((len(keys), C))
+        for i, k in enumerate(keys):
+            out[i] = cache[k]
+        return out
 
     def token_label_scores(
         self, token_embs: np.ndarray, label_embs: np.ndarray

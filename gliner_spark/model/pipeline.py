@@ -134,6 +134,9 @@ class GLiNERPipeline:
             (h, r, t) for (h, r, t) in (patterns or []) if r in self.relations
         }
         self._label_pos = {lab: i for i, lab in enumerate(self.labels)}
+        # stable identity of this label set for the encoder's score
+        # cache (the encoder singleton is shared across pipelines)
+        self._label_key = "\x1f".join(self.labels)
         # ONNX-session backends (model/onnx_backend.OnnxSpanEncoder /
         # OnnxRelexEncoder) score whole batches through session.run and
         # embed labels inside the graph via the <<ENT>> prompt — the
@@ -218,11 +221,16 @@ class GLiNERPipeline:
                 h, sidx, K, cfg.span_mode
             )
         else:
-            # token-pair-keyed span reps with a cross-document cache
-            # (Zipf vocabularies repeat pairs heavily; bit-identical to
-            # the uncached path — each einsum row is computed
-            # independently)
-            span_reps = self.encoder.span_representations_tokens(tokens, sidx)
+            # token-pair-keyed SCORE cache (Zipf vocabularies repeat
+            # pairs heavily): a hit skips both the rep gather and the
+            # score einsum; bit-identical to the uncached path. Span
+            # reps are not materialized here — the relex path builds
+            # them lazily for the (few) confident spans only.
+            logits = self.encoder.score_spans_tokens(
+                tokens, sidx, label_embs, self._label_key
+            )
+            probs = sigmoid(logits).reshape(L, K, len(self.labels))
+            return probs, None
         logits = self.encoder.score_spans(span_reps, label_embs)  # (L*K, C)
         probs = sigmoid(logits).reshape(L, K, len(self.labels))
         return probs, span_reps
@@ -487,7 +495,14 @@ class GLiNERPipeline:
         valid = sidx[:, 1] < len(tokens)  # span_mask
         keep = (flat_probs.max(axis=1) > thr) & valid
         packed_idx = np.nonzero(keep)[0]  # ascending flat order = packed order
-        packed_reps = span_reps[packed_idx]
+        if span_reps is None:
+            # score-cache path: build reps ONLY for the confident spans
+            # (E ≪ L·K); same per-row math as the full matrix
+            packed_reps = self.encoder.span_representations_tokens(
+                tokens, sidx[packed_idx]
+            )
+        else:
+            packed_reps = span_reps[packed_idx]
         E = len(packed_idx)
 
         rel_idx = None
