@@ -493,6 +493,37 @@ def q_dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_triples_kge_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGE triple-plausibility refinement (M14): the gazetteer triples
+    ranked by the TuckER interaction over mean-pooled surface
+    embeddings — the prune-implausible-edges pass before graph
+    materialization. Rows-only check (hash-seeded core tensor)."""
+    from gliner_spark.operators.kge_scores import score_triples
+
+    t = q_kg_triples(spark, sf_dir)
+    scored = score_triples(
+        t.select("doc_id", "subj_text", "pred", "obj_text"), method="tucker"
+    )
+    w = Window.partitionBy("doc_id", "pred").orderBy(
+        F.desc("kge_score"), "subj_text", "obj_text"
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 3
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer + multi-probe) — rows-only
+    check (centroids are seeded but float-cluster-dependent)."""
+    from gliner_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < ANN_NQ), k=ANN_K,
+        n_centroids=8, n_probe=2,
+    )
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return brute_force_topk(emb, emb.where(F.col("vec_id") < ANN_NQ), k=ANN_K)
@@ -590,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_cosine_blocked": q_dedup_cosine_blocked,
+        "kg_triples_kge_ranked": q_kg_triples_kge_ranked,
+        "ann_ivf": q_ann_ivf,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "text_token_count": q_text_token_count,

@@ -52,10 +52,32 @@ def score_triples(
         for pdf in batches:
             out = pdf.copy()
             if len(pdf):
-                h = _embed_batch(enc, pdf[subj_col])
-                r = _embed_batch(enc, pdf[pred_col])
-                t = _embed_batch(enc, pdf[obj_col])
-                out["kge_score"] = score_triples_np(h, r, t, method)
+                # The score is a deterministic function of the three
+                # surfaces, and surface triples repeat heavily (Zipf) —
+                # score each DISTINCT (subj, pred, obj) once per Arrow
+                # batch and map back. Bit-identical (per-row math is
+                # independent of batch composition), no extra shuffle.
+                uniq = pd.DataFrame(
+                    {
+                        "s": pdf[subj_col].astype(str),
+                        "p": pdf[pred_col].astype(str),
+                        "o": pdf[obj_col].astype(str),
+                    }
+                ).drop_duplicates()
+                h = _embed_batch(enc, uniq["s"])
+                r = _embed_batch(enc, uniq["p"])
+                t = _embed_batch(enc, uniq["o"])
+                scores = score_triples_np(h, r, t, method)
+                lut = {
+                    key: float(v)
+                    for key, v in zip(
+                        zip(uniq["s"], uniq["p"], uniq["o"]), scores
+                    )
+                }
+                out["kge_score"] = [
+                    lut[(str(s), str(p), str(o))]
+                    for s, p, o in zip(pdf[subj_col], pdf[pred_col], pdf[obj_col])
+                ]
             else:
                 out["kge_score"] = pd.Series([], dtype="float64")
             yield out

@@ -64,6 +64,8 @@ class TestContract:
             "kg_entities_onnx",
             "kg_entities_tokenmode_onnx",
             "kg_triples_onnx",
+            "kg_triples_kge_ranked",
+            "ann_ivf",
         }
 
     def test_entry_runs_and_has_stable_schema(self, spark):
