@@ -520,7 +520,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < ANN_NQ), k=ANN_K,
-        n_centroids=8, n_probe=2,
+        n_centroids=8, n_probe=2, max_iter=8,
     )
 
 

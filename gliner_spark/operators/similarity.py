@@ -126,6 +126,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF-style ANN: coarse KMeans quantizer + multi-probe search.
 
@@ -148,7 +149,9 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(train)
     centers = np.stack(model.clusterCenters()).astype(np.float64)
     sc = corpus.sparkSession.sparkContext
     bc_centers = sc.broadcast(centers)
