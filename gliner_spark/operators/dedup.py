@@ -94,7 +94,17 @@ def ngram_jaccard_pairs(
     scale that table could never be cached anyway.
     """
     sh = _shingle_rows(df, id_col, text_col, n, max_df)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is None:
+        # per-doc shingle count is computable NARROWLY from the row
+        # (|distinct shingle array|) — no explode, no shuffle; same
+        # value as counting the exploded rows. With max_df the capped
+        # count needs the exploded + filtered rows, so fall through.
+        sizes = df.select(
+            F.col(id_col).alias("_id"),
+            F.size(shingles(F.col(text_col), n)).alias("n_sh"),
+        )
+    else:
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -181,7 +191,14 @@ def minhash_lsh_pairs(
     )
 
     # Exact verify on candidates only (semi-join-sized work).
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is None:
+        # narrow per-row count — no explode/shuffle (see ngram_jaccard)
+        sizes = df.select(
+            F.col(id_col).alias("_id"),
+            F.size(shingles(F.col(text_col), n)).alias("n_sh"),
+        )
+    else:
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pair_sh = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa._id"))
         .join(
