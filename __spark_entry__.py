@@ -214,12 +214,20 @@ def q_kg_entities_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_triples_adjmode_gcn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint relex with the GCN adjacency predictor
-    (relations_layers.py:186-269 analog) — rows-only check."""
+    (relations_layers.py:186-269 analog). Configured like
+    kg_triples_zeroshot (gazetteer recall + predicate patterns) so the
+    gate emits rows — the zero-shot-only config produced ~0 relations
+    from the deterministic encoder and asserted nothing (round-2
+    verdict). GCN adjacency still scores every non-pattern pair, and
+    the kernel oracle (tests/test_kernel_oracle.py) checks the full
+    output row-for-row."""
     t = extract_triples(
         _pages(spark, sf_dir),
         labels=ENT_LABELS,
         relations=RELATIONS,
         threshold=0.5,
+        gazetteer=GAZ_FULL,
+        patterns=PATTERNS,
         lang_col=None,
         relations_mode="gcn",
     )

@@ -181,6 +181,11 @@ class DeterministicEncoder:
             return np.zeros((len(span_idx), self.dim))
         starts = np.clip(span_idx[:, 0], 0, L - 1)
         ends = np.clip(span_idx[:, 1], 0, L - 1)
+        # Evict BEFORE computing `missing`: clearing after would drop the
+        # keys this call just counted as hits and the fill loop below
+        # would KeyError mid-task.
+        if len(self._span_cache) > 2_000_000:  # bound executor memory
+            self._span_cache.clear()
         keys = [(tokens[s], tokens[e]) for s, e in zip(starts, ends)]
         missing = [k for k in dict.fromkeys(keys) if k not in self._span_cache]
         if missing:
@@ -193,8 +198,6 @@ class DeterministicEncoder:
             )
             rep = np.tanh(_mm(cat, self.w_span))
             rep /= np.linalg.norm(rep, axis=1, keepdims=True) + 1e-9
-            if len(self._span_cache) > 2_000_000:  # bound executor memory
-                self._span_cache.clear()
             for k, r in zip(missing, rep):
                 self._span_cache[k] = r
         # fill a preallocated output instead of np.stack (which
@@ -453,6 +456,11 @@ class DeterministicEncoder:
         starts = np.clip(span_idx[:, 0], 0, L - 1)
         ends = np.clip(span_idx[:, 1], 0, L - 1)
         cache = self._score_cache
+        # Evict BEFORE computing `missing` (same hazard as
+        # span_representations_tokens: a post-hoc clear would evict this
+        # call's cache hits and KeyError in the fill loop).
+        if len(cache) > 2_000_000:  # bound executor memory
+            cache.clear()
         keys = [
             (label_key, tokens[s], tokens[e]) for s, e in zip(starts, ends)
         ]
@@ -468,8 +476,6 @@ class DeterministicEncoder:
             rep = np.tanh(_mm(cat, self.w_span))
             rep /= np.linalg.norm(rep, axis=1, keepdims=True) + 1e-9
             rows = (_mm(rep, label_embs.T) - self.margin) / self.temperature
-            if len(cache) > 2_000_000:  # bound executor memory
-                cache.clear()
             for k, r in zip(missing, rows):
                 cache[k] = r
         out = np.empty((len(keys), C))

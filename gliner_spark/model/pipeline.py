@@ -144,6 +144,18 @@ class GLiNERPipeline:
         # embed_labels for the bi-encoder-style driver precompute.
         self.is_session_backend = hasattr(self.encoder, "span_probs")
         if self.is_session_backend:
+            # Session backends build the span grid from THEIR max_width
+            # (it's baked into the exported graph feed); a silently
+            # diverging PipelineConfig.max_width would change span-width
+            # coverage without anyone noticing — fail loudly instead.
+            enc_width = getattr(self.encoder, "max_width", None)
+            if enc_width is not None and int(enc_width) != self.config.max_width:
+                raise ValueError(
+                    f"PipelineConfig.max_width={self.config.max_width} != "
+                    f"session encoder max_width={enc_width}; the exported "
+                    f"graph's span grid wins — construct the encoder with "
+                    f"the configured width or align the config"
+                )
             self.label_embs = None
             self.rel_embs = None
             if self.relations and not getattr(self.encoder, "supports_relations", False):

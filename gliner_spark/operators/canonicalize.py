@@ -165,6 +165,7 @@ def _cc_star(edge_rows: DataFrame, src: str, dst: str, max_iter: int) -> DataFra
         ).distinct()
     ).localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         # ---- large-star ----
         sym = edges.unionByName(
@@ -201,11 +202,24 @@ def _cc_star(edge_rows: DataFrame, src: str, dst: str, max_iter: int) -> DataFra
             and new_edges.exceptAll(edges).limit(1).count() == 0
         ):
             edges = new_edges
+            converged = True
             break
         edges = new_edges
 
-    # star forest: child u → root v (= component min); roots self-map;
-    # groupBy-min is a safety net if max_iter stopped pre-convergence.
+    if not converged:
+        # The fixpoint guarantees the edge set is a star forest rooted
+        # at each component's min; a pre-convergence edge set is NOT
+        # (e.g. path 1-5-2 mid-contraction: node 2 has no smaller
+        # neighbor yet and would silently self-root). Star contraction
+        # halves component diameter per round, so max_iter=25 covers
+        # any graph that fits on hardware — hitting this means a bug or
+        # an absurdly low cap, and wrong components must not ship.
+        raise RuntimeError(
+            f"large-star/small-star did not converge within max_iter "
+            f"rounds; raise max_iter (components would be wrong)"
+        )
+
+    # star forest: child u → root v (= component min); roots self-map.
     assign = edges.groupBy(F.col("u").alias("node")).agg(
         F.min("v").alias("component")
     )

@@ -63,10 +63,20 @@ def _shingle_rows(
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
     if max_df is not None:
-        w = Window.partitionBy("shingle")
-        rows = rows.withColumn("_df", F.count(F.lit(1)).over(w)).where(
-            F.col("_df") <= F.lit(max_df)
-        ).drop("_df")
+        # Stop-shingle guard WITHOUT creating the hot key it guards
+        # against: a Window.partitionBy("shingle") would colocate a
+        # 10^7-doc boilerplate shingle on ONE task (plus a window sort)
+        # before it could be dropped. Instead: partial-aggregated
+        # groupBy count (map-side combine caps per-task rows at the
+        # distinct-shingle count), keep only the over-cap shingles —
+        # tiny by definition — and broadcast anti-join them away.
+        stop = (
+            rows.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > F.lit(max_df))
+            .select("shingle")
+        )
+        rows = rows.join(F.broadcast(stop), "shingle", "left_anti")
     return rows
 
 

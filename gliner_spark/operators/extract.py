@@ -70,18 +70,63 @@ def _ensure_parallelism(df: DataFrame, min_partitions: Optional[int]) -> DataFra
     # Default heuristic without converting the plan to an RDD (the old
     # df.rdd.getNumPartitions() probe forced a plan→RDD translation per
     # operator call): count the scan's input files. A small/compacted
-    # parquet source shows fewer files than cores → fan out. Non-file
-    # sources (in-memory test frames) report zero files and are small by
-    # construction → fan out too. A 100 TB scan reports ≥ target files
-    # and this stays a no-op.
+    # parquet source shows fewer files than cores → fan out. A 100 TB
+    # scan reports ≥ target files and this stays a no-op.
     n_files = len(df.inputFiles())
+    if n_files == 0:
+        # Non-file source (Kafka/JDBC/in-memory): inputFiles() says
+        # nothing about parallelism, and unconditionally repartitioning
+        # would force a shuffle — and could SHRINK a many-partition
+        # source down to defaultParallelism. Fall back to the actual
+        # partition-count probe; these sources are rare on this operator
+        # so the one-off plan→RDD translation is acceptable here.
+        try:
+            if df.rdd.getNumPartitions() < target:
+                return df.repartition(target)
+        except Exception:
+            pass  # e.g. foreachBatch frames that refuse .rdd: leave as-is
+        return df
     if n_files < target:
         return df.repartition(target)
     return df
 
 
+def _factory_key(encoder_factory, encoder_key=None):
+    """Cache identity of an encoder factory.
+
+    (module, qualname) alone collides for two lambdas with identical
+    qualnames closing over different model paths — the exact usage the
+    docstring recommends — silently reusing the wrong cached pipeline.
+    So the key is the blake2b of the factory's cloudpickle bytes (the
+    closure's captured values are part of the pickle, so two lambdas
+    over different paths hash differently). Callers that want a stable,
+    human-readable identity (or have an unpicklable factory) pass
+    ``encoder_key`` explicitly.
+    """
+    if encoder_factory is None:
+        return None
+    if encoder_key is not None:
+        return ("explicit", str(encoder_key))
+    import hashlib
+
+    try:
+        from pyspark import cloudpickle
+
+        blob = cloudpickle.dumps(encoder_factory)
+    except Exception:
+        import pickle
+
+        try:
+            blob = pickle.dumps(encoder_factory)
+        except Exception:
+            # Unpicklable factory with no explicit key: never share.
+            return ("id", id(encoder_factory))
+    return ("pickle", hashlib.blake2b(blob, digest_size=16).hexdigest())
+
+
 def _get_pipeline(
-    labels, relations, cfg_kwargs, gazetteer=None, patterns=None, encoder_factory=None
+    labels, relations, cfg_kwargs, gazetteer=None, patterns=None,
+    encoder_factory=None, encoder_key=None,
 ) -> GLiNERPipeline:
     """Process-level pipeline singleton keyed by (labels, relations, cfg).
 
@@ -90,13 +135,10 @@ def _get_pipeline(
     "model.onnx"))``); it runs once per worker process per key — the
     executor-singleton pattern, so production factories should load the
     ORT session via the module-level session cache (onnx_backend keeps
-    one session per model path).
+    one session per model path). ``encoder_key`` overrides the derived
+    factory identity (see _factory_key).
     """
-    factory_key = (
-        (getattr(encoder_factory, "__module__", ""), getattr(encoder_factory, "__qualname__", repr(encoder_factory)))
-        if encoder_factory is not None
-        else None
-    )
+    factory_key = _factory_key(encoder_factory, encoder_key)
     key = (
         tuple(labels),
         tuple(relations),
@@ -135,6 +177,7 @@ def extract_entities(
     spans_col: Optional[str] = None,
     return_class_probs: bool = False,
     encoder_factory=None,
+    encoder_key: Optional[str] = None,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages(url, text[, lang]) → entities(url, start, end, text, label, score).
@@ -167,7 +210,8 @@ def extract_entities(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pipe = _get_pipeline(
-            labels, [], cfg, gazetteer=gazetteer, encoder_factory=encoder_factory
+            labels, [], cfg, gazetteer=gazetteer,
+            encoder_factory=encoder_factory, encoder_key=encoder_key,
         )
         for pdf in batches:
             rows: List[tuple] = []
@@ -220,6 +264,7 @@ def extract_triples(
     patterns: Optional[Sequence] = None,
     min_partitions: Optional[int] = None,
     encoder_factory=None,
+    encoder_key: Optional[str] = None,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages → triples(url, subj_*, pred, obj_*, score).
@@ -246,7 +291,7 @@ def extract_triples(
         pipe = _get_pipeline(
             labels, relations, cfg,
             gazetteer=gazetteer, patterns=[tuple(p) for p in (patterns or [])],
-            encoder_factory=encoder_factory,
+            encoder_factory=encoder_factory, encoder_key=encoder_key,
         )
         for pdf in batches:
             rows: List[tuple] = []

@@ -24,12 +24,28 @@ from ..model.encoder import get_encoder
 from ..model.kge import score_triples_np
 
 
+# surface → mean-pooled unit vector, per (dim, seed). Triple surfaces
+# are Zipf-heavy across Arrow batches; without this every batch re-pools
+# the same few thousand entity strings word by word in Python (the cost
+# center the round-2 profile flagged on kg_triples_kge_ranked).
+_SURFACE_CACHE: dict = {}
+_SURFACE_CACHE_MAX = 2_000_000
+
+
 def _embed_batch(enc, texts) -> np.ndarray:
+    cache = _SURFACE_CACHE.setdefault((enc.dim, enc.seed), {})
+    if len(cache) > _SURFACE_CACHE_MAX:  # bound executor memory
+        cache.clear()
     out = []
     for t in texts:
-        words = [w for w in str(t).split() if w] or [str(t)]
-        v = np.mean([enc.token_embedding(w) for w in words], axis=0)
-        out.append(v / (np.linalg.norm(v) + 1e-9))
+        t = str(t)
+        v = cache.get(t)
+        if v is None:
+            words = [w for w in t.split() if w] or [t]
+            v = np.mean([enc.token_embedding(w) for w in words], axis=0)
+            v = v / (np.linalg.norm(v) + 1e-9)
+            cache[t] = v
+        out.append(v)
     return np.stack(out) if out else np.zeros((0, enc.dim))
 
 

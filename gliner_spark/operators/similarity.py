@@ -117,6 +117,43 @@ def _brute_force_topk_vectorized(
     return _topk(partial, k)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    train_size: int = 262_144,
+):
+    """Fit the IVF coarse quantizer on a SAMPLE of the corpus and
+    return the centroid matrix (numpy (n_centroids, dim)).
+
+    An IVF quantizer needs ~256k training vectors regardless of corpus
+    size (the FAISS rule of thumb) — fitting KMeans on all 10^12 rows
+    is a multi-pass job over the whole table for no recall gain. The
+    sample is seeded (reproducible); when the corpus is already small
+    the sample is the corpus. Returned centroids can be persisted and
+    passed to :func:`ivf_topk` so the expensive fit runs once per
+    corpus, not once per query batch.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    n = corpus.count()
+    if n > train_size:
+        # slight oversample then exact cap, keeps the fit bounded;
+        # sample() is a narrow op — no shuffle, full scan parallelism
+        frac = min(1.0, 1.2 * train_size / n)
+        train = train.sample(fraction=frac, seed=seed).limit(train_size)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(train)
+    return np.stack(model.clusterCenters()).astype(np.float64)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,16 +164,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 20,
+    centroids=None,
+    train_size: int = 262_144,
 ) -> DataFrame:
     """IVF-style ANN: coarse KMeans quantizer + multi-probe search.
 
-    Train ``n_centroids`` KMeans centroids on the corpus (pyspark.ml,
-    seeded), assign every corpus vector to its cell, and for each query
-    search the ``n_probe`` nearest cells exactly. The classic
-    inverted-file trade: candidate work drops to ~n_probe/n_centroids
-    of the corpus, recall rises with n_probe (tests measure it against
-    brute force). Output contract identical to the other routes:
-    (query_id, neighbor_id, rank).
+    Train ``n_centroids`` KMeans centroids on a bounded SAMPLE of the
+    corpus (see :func:`train_ivf_centroids`; pass ``centroids`` to
+    reuse a persisted quantizer and skip the fit entirely), assign
+    every corpus vector to its cell, and for each query search the
+    ``n_probe`` nearest cells exactly. The classic inverted-file trade:
+    candidate work drops to ~n_probe/n_centroids of the corpus, recall
+    rises with n_probe (tests measure it against brute force). Output
+    contract identical to the other routes: (query_id, neighbor_id,
+    rank).
 
     At 100 TB the assignment is a one-off pass persisted alongside the
     embeddings (partitioned/bucketed by cell id), and queries only read
@@ -145,14 +186,12 @@ def ivf_topk(
     """
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
-    ).fit(train)
-    centers = np.stack(model.clusterCenters()).astype(np.float64)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=n_centroids, seed=seed, vec_col=vec_col,
+            max_iter=max_iter, train_size=train_size,
+        )
+    centers = np.asarray(centroids, dtype=np.float64)
     sc = corpus.sparkSession.sparkContext
     bc_centers = sc.broadcast(centers)
 
