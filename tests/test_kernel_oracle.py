@@ -1,0 +1,316 @@
+"""Kernel-oracle equivalence for every rows-only driver gate.
+
+The driver's correctness gate compares each ``__spark_entry__`` query
+against a DuckDB SQL oracle — but the learned-weight paths (zero-shot
+scoring, token mode, alternative span/adjacency modes, the fake-session
+ONNX contract, KGE ranking, IVF ANN) are not SQL-expressible, so those
+11 gates were "produced N rows" checks that assert nothing about the
+values (round-2 verdict, "What's missing #1").
+
+This file closes that gap with the strongest check available: the
+kernel (gliner_spark.model.pipeline) is Spark-free by construction, so
+the SAME parquet rows are run through
+
+  (a) the exact ``__spark_entry__`` query — distributed ``mapInPandas``
+      over executors, batched scoring, Arrow transport — and
+  (b) the kernel single-process on the driver, one document at a time,
+
+and the full row sets must be EQUAL (offsets, labels, byte-identical
+text slices, and bit-identical float64 scores — the encoder's
+fixed-order einsum guarantees cross-process score parity, see
+model/encoder._mm). This is the same distributed-vs-reference standard
+tests/test_north_metrics.py applies to the flagship, extended to every
+rows-only gate; it also independently certifies that the length-sorted
+session sub-batching (pipeline.predict_entities_batch) is equivalent to
+per-document calls.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from gliner_spark.model.pipeline import GLiNERPipeline, PipelineConfig
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(pdf["doc_id"].astype(int), pdf["text"]))
+
+
+def _spark_rows(spark, name):
+    df = entry.queries()[name](spark, SF_DIR)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _kernel_entities(docs, pipe):
+    rows = []
+    for doc_id, text in docs:
+        for e in pipe.predict_entities(text, "en"):
+            rows.append(
+                (doc_id, e["start"], e["end"], e["text"], e["label"], float(e["score"]))
+            )
+    return sorted(rows)
+
+
+def _kernel_triples(docs, pipe):
+    rows = []
+    for doc_id, text in docs:
+        _ents, rels = pipe.predict_triples(text, "en")
+        for r in rels:
+            rows.append(
+                (
+                    doc_id,
+                    r["head"]["text"],
+                    r["relation"],
+                    r["tail"]["text"],
+                    float(r["score"]),
+                )
+            )
+    return sorted(rows)
+
+
+def _assert_equal(got, want, min_rows=50):
+    # A vacuous gate proves nothing (the round-2 gcn lesson): demand a
+    # real row set before demanding equality.
+    assert len(want) >= min_rows, f"kernel produced only {len(want)} rows"
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# entity gates (deterministic-encoder paths)
+# ---------------------------------------------------------------------------
+
+
+class TestEntityGates:
+    def test_zeroshot(self, spark, docs):
+        pipe = GLiNERPipeline(entry.ENT_LABELS, [], PipelineConfig(threshold=0.5))
+        _assert_equal(
+            _spark_rows(spark, "kg_entities_zeroshot"), _kernel_entities(docs, pipe)
+        )
+
+    def test_tokenmode(self, spark, docs):
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [], PipelineConfig(threshold=0.4, mode="token")
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_entities_tokenmode"), _kernel_entities(docs, pipe)
+        )
+
+    def test_convspan(self, spark, docs):
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [],
+            PipelineConfig(threshold=0.55, span_mode="conv_mean"),
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_entities_convspan"), _kernel_entities(docs, pipe)
+        )
+
+    def test_rnn(self, spark, docs):
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [],
+            PipelineConfig(threshold=0.55, num_rnn_layers=1),
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_entities_rnn"), _kernel_entities(docs, pipe)
+        )
+
+
+# ---------------------------------------------------------------------------
+# fake-session (ONNX contract) gates — per-document kernel calls also
+# certify the batched session path (length-sorted sub-batches) emits
+# identical rows
+# ---------------------------------------------------------------------------
+
+
+class TestSessionGates:
+    def test_entities_onnx(self, spark, docs):
+        from gliner_spark.model.ort_testing import fake_span_encoder_factory
+
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [], PipelineConfig(threshold=0.5),
+            encoder=fake_span_encoder_factory(),
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_entities_onnx"), _kernel_entities(docs, pipe)
+        )
+
+    def test_entities_tokenmode_onnx(self, spark, docs):
+        from gliner_spark.model.ort_testing import fake_token_encoder_factory
+
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [], PipelineConfig(threshold=0.4, mode="token"),
+            encoder=fake_token_encoder_factory(),
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_entities_tokenmode_onnx"),
+            _kernel_entities(docs, pipe),
+        )
+
+    def test_triples_onnx(self, spark, docs):
+        from gliner_spark.model.ort_testing import fake_relex_encoder_factory
+
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, entry.RELATIONS, PipelineConfig(threshold=0.5),
+            encoder=fake_relex_encoder_factory(),
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_triples_onnx"), _kernel_triples(docs, pipe)
+        )
+
+
+# ---------------------------------------------------------------------------
+# relex gates
+# ---------------------------------------------------------------------------
+
+
+class TestTripleGates:
+    def test_triples_zeroshot(self, spark, docs):
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, entry.RELATIONS, PipelineConfig(threshold=0.5),
+            gazetteer=entry.GAZ_FULL, patterns=entry.PATTERNS,
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_triples_zeroshot"), _kernel_triples(docs, pipe)
+        )
+
+    def test_triples_adjmode_gcn(self, spark, docs):
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, entry.RELATIONS,
+            PipelineConfig(threshold=0.5, relations_mode="gcn"),
+            gazetteer=entry.GAZ_FULL, patterns=entry.PATTERNS,
+        )
+        want = _kernel_triples(docs, pipe)
+        _assert_equal(_spark_rows(spark, "kg_triples_adjmode_gcn"), want)
+        # and the gate must differ from the bilinear default somewhere,
+        # or the mode knob isn't actually reaching the adjacency head
+        bilinear = GLiNERPipeline(
+            entry.ENT_LABELS, entry.RELATIONS, PipelineConfig(threshold=0.5),
+            gazetteer=entry.GAZ_FULL, patterns=entry.PATTERNS,
+        )
+        assert want != _kernel_triples(docs, bilinear)
+
+
+# ---------------------------------------------------------------------------
+# KGE ranking gate
+# ---------------------------------------------------------------------------
+
+
+class TestKgeRankedGate:
+    def test_kge_ranked(self, spark, docs):
+        from gliner_spark.model.encoder import get_encoder
+        from gliner_spark.model.kge import score_triples_np
+        from gliner_spark.operators.kge_scores import _embed_batch
+
+        got = _spark_rows(spark, "kg_triples_kge_ranked")
+
+        # kernel: gazetteer-mode triples (the q_kg_triples config) ...
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, entry.RELATIONS,
+            PipelineConfig(threshold=0.5, scoring="gazetteer"),
+            gazetteer=entry.GAZ_FULL, patterns=entry.PATTERNS,
+        )
+        recs = []
+        for doc_id, text in docs:
+            _ents, rels = pipe.predict_triples(text, "en")
+            for r in rels:
+                recs.append((doc_id, r["head"]["text"], r["relation"], r["tail"]["text"]))
+        pdf = pd.DataFrame(recs, columns=["doc_id", "subj_text", "pred", "obj_text"])
+
+        # ... scored by the same TuckER interaction over the same
+        # mean-pooled surface embeddings ...
+        enc = get_encoder(64, 42)
+        uniq = pdf.drop_duplicates().reset_index(drop=True)
+        scores = score_triples_np(
+            _embed_batch(enc, uniq["subj_text"]),
+            _embed_batch(enc, uniq["pred"]),
+            _embed_batch(enc, uniq["obj_text"]),
+            "tucker",
+        )
+        uniq = uniq.assign(kge_score=[float(s) for s in scores])
+        pdf = pdf.merge(uniq, on=["doc_id", "subj_text", "pred", "obj_text"], how="left")
+
+        # ... ranked top-3 per (doc_id, pred) by (score desc, subj, obj)
+        pdf = pdf.sort_values(
+            ["doc_id", "pred", "kge_score", "subj_text", "obj_text"],
+            ascending=[True, True, False, True, True],
+            kind="mergesort",
+        )
+        pdf["rank"] = pdf.groupby(["doc_id", "pred"]).cumcount() + 1
+        pdf = pdf[pdf["rank"] <= 3]
+        want = sorted(
+            (int(r.doc_id), r.subj_text, r.pred, r.obj_text, float(r.kge_score), int(r.rank))
+            for r in pdf.itertuples()
+        )
+        _assert_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN gate
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot(a, b):
+    """Strict left-to-right float64 fold — the exact IEEE sequence of
+    functions.vectors.dot_product (zip_with + aggregate)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+class TestIvfGate:
+    def test_ann_ivf(self, spark):
+        """ivf_topk with pinned centroids vs a pure-numpy replica of
+        assignment → multi-probe → exact cosine → deterministic rank.
+
+        The gate itself (q_ann_ivf) trains its quantizer internally;
+        here the SAME centroid matrix feeds both sides so the check
+        isolates the distributed search path (the trained path's recall
+        is covered by test_similarity.py).
+        """
+        from gliner_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = train_ivf_centroids(emb, n_centroids=8, seed=42, max_iter=8)
+        queries = emb.where(F.col("vec_id") < entry.ANN_NQ)
+        got = sorted(
+            tuple(r)
+            for r in ivf_topk(
+                emb, queries, k=entry.ANN_K, n_probe=2, centroids=cents
+            ).collect()
+        )
+
+        pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+        d = (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+        order = np.argsort(d, axis=1, kind="stable")
+        cell = order[:, 0]
+        want = []
+        for qi in np.nonzero(ids < entry.ANN_NQ)[0]:
+            probe = set(order[qi, :2].tolist())
+            cand = [
+                ci
+                for ci in range(len(ids))
+                if cell[ci] in probe and ids[ci] != ids[qi]
+            ]
+            scored = sorted(
+                (
+                    (-_fold_dot(X[qi], X[ci])
+                     / (math.sqrt(_fold_dot(X[qi], X[qi]))
+                        * math.sqrt(_fold_dot(X[ci], X[ci]))),
+                     int(ids[ci]))
+                    for ci in cand
+                ),
+            )
+            for rank, (_negcos, nid) in enumerate(scored[: entry.ANN_K], start=1):
+                want.append((int(ids[qi]), nid, rank))
+        _assert_equal(got, sorted(want), min_rows=100)
