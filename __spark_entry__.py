@@ -102,6 +102,10 @@ REL2_PAIR_GAZ = {"table": "customer <> uses"}
 REL2_RELATIONS = ["uses"]
 
 JACCARD_T = 0.5
+# stop-shingle cap for the capped-dedup gate: shingles appearing in more
+# than this many docs are dropped BEFORE pair generation (the hot-key
+# guard); Jaccard is then computed over the capped sets on both sides.
+JACCARD_MAXDF = 2
 COSINE_T = 0.45
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
@@ -463,6 +467,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
 
 
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-shingle route: document frequency per shingle via
+    map-side-combined groupBy, over-cap shingles broadcast-anti-joined
+    away (never a Window.partitionBy(shingle) — that would colocate the
+    exact hot key the cap exists to neutralize), then the same blocked
+    jaccard over the capped sets. Oracle applies the identical cap."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_T, max_df=JACCARD_MAXDF
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _docs(spark, sf_dir),
@@ -625,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_prompt_relex": q_mt_prompt_relex,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -694,6 +710,23 @@ sh AS (
          )) AS shingle
   FROM d
 ),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+# Capped variant: drop shingles with document frequency > JACCARD_MAXDF
+# BEFORE pair generation; sizes recomputed over the capped rows (the
+# operator's max_df contract — both sides of the gate apply it).
+_SHINGLE_CTE_CAPPED = f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+         )) AS shingle
+  FROM d
+),
+dfreq AS (SELECT shingle, count(*) AS dfc FROM sh0 GROUP BY shingle),
+sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dfreq f USING (shingle)
+       WHERE f.dfc <= {JACCARD_MAXDF}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
@@ -986,6 +1019,11 @@ FROM documents
 """,
         "dedup_ngram_jaccard": f"""
 WITH {_SHINGLE_CTE.strip().rstrip(',')},
+{_JACCARD_PAIRS.strip().lstrip()}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
+""",
+        "dedup_ngram_jaccard_capped": f"""
+WITH {_SHINGLE_CTE_CAPPED.strip().rstrip(',')},
 {_JACCARD_PAIRS.strip().lstrip()}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
 """,

@@ -111,6 +111,24 @@ class TestRound2PlanShapes:
         assert "CartesianProduct" not in plan
         assert "Join" in plan  # bucket equi-join
 
+    def test_capped_jaccard_no_shingle_window(self, spark):
+        """The max_df stop-shingle guard must NOT be a
+        Window.partitionBy(shingle): a boilerplate shingle in 10^7 docs
+        would land on one task (window sort included) before it could
+        be dropped — the guard would create the hot key it guards
+        against. The scale shape is groupBy count (map-side combine) +
+        broadcast anti-join of the tiny over-cap list."""
+        from gliner_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(i, f"common words everywhere plus unique{i} token{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        df = ngram_jaccard_pairs(docs, threshold=0.1, max_df=5)
+        plan = formatted_plan(df)
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
     def test_star_cc_no_cartesian(self, spark):
         from gliner_spark.operators.canonicalize import connected_components
 
