@@ -75,3 +75,128 @@ class TestBackendDispatch:
     def test_offsets_scan_skips_whitespace_and_unfindable(self):
         out = list(tk._offsets_by_scan("a b c", ["a", " ", "x", "b", "c"]))
         assert out == [("a", 0, 1), ("b", 2, 3), ("c", 4, 5)]
+
+
+def _module_tree(monkeypatch, dotted: str, leaf_attrs: dict):
+    """Install a fake package chain so `from a.b.c import f` works."""
+    parts = dotted.split(".")
+    for i in range(1, len(parts) + 1):
+        name = ".".join(parts[:i])
+        mod = sys.modules.get(name)
+        if not isinstance(mod, types.ModuleType) or i == len(parts):
+            mod = types.ModuleType(name)
+            monkeypatch.setitem(sys.modules, name, mod)
+        if i == len(parts):
+            for k, v in leaf_attrs.items():
+                setattr(mod, k, v)
+        if i > 1:
+            setattr(sys.modules[".".join(parts[: i - 1])], parts[i - 1], mod)
+
+
+class TestNewBackends:
+    """ar/hi backends + the regex-scan offset recovery (tokenizer.py
+    :210-286) through fake packages — proves the wiring, not the libs."""
+
+    def test_ar_camel_backend(self, monkeypatch):
+        monkeypatch.setattr(tk, "_BACKEND_CACHE", {})
+        _module_tree(
+            monkeypatch, "camel_tools.tokenizers.word",
+            {"simple_word_tokenize": lambda text: text.split("|")},
+        )
+        text = "كلمة|أخرى"
+        tokens, starts, ends = tk.tokenize_with_offsets(text, "ar")
+        assert tokens == ["كلمة", "أخرى"]
+        for t, s, e in zip(tokens, starts, ends):
+            assert text[s:e] == t
+
+    def test_hi_indic_backend(self, monkeypatch):
+        monkeypatch.setattr(tk, "_BACKEND_CACHE", {})
+
+        class _IT:
+            @staticmethod
+            def trivial_tokenize(text, lang="hi"):
+                return text.split("|")
+
+        _module_tree(monkeypatch, "indicnlp.tokenize", {"indic_tokenize": _IT})
+        text = "नमस्ते|दुनिया"
+        tokens, starts, ends = tk.tokenize_with_offsets(text, "hi")
+        assert tokens == ["नमस्ते", "दुनिया"]
+        for t, s, e in zip(tokens, starts, ends):
+            assert text[s:e] == t
+
+    def test_regex_scan_matches_reference_semantics(self):
+        # tokens containing regex metacharacters must be escaped
+        out = list(tk._offsets_by_regex_scan("a+b a+b", ["a+b", "a+b"]))
+        assert out == [("a+b", 0, 3), ("a+b", 4, 7)]
+
+
+class TestUniversalSplitter:
+    """MultiLangWordsSplitter analog: detect → backend dispatch →
+    regex fallback (tokenizer.py:334-404)."""
+
+    def test_detect_prefers_langdetect_when_present(self, monkeypatch):
+        calls = []
+
+        class _Factory:
+            seed = None
+
+        def detect(text):
+            calls.append(text)
+            return "zh"
+
+        _module_tree(monkeypatch, "langdetect", {
+            "DetectorFactory": _Factory, "detect": detect,
+        })
+
+        class _Exc(Exception):
+            pass
+
+        _module_tree(
+            monkeypatch, "langdetect.lang_detect_exception",
+            {"LangDetectException": _Exc},
+        )
+        assert tk._detect_lang("whatever") == "zh"
+        assert calls and _Factory.seed == 0  # seeded like the reference
+
+    def test_script_heuristic_fallback(self):
+        # no langdetect in the sandbox → script-range routing
+        assert tk._detect_lang("云计算平台运行良好") == "zh"
+        assert tk._detect_lang("これはテストです") == "ja"
+        assert tk._detect_lang("안녕하세요 세계") == "ko"
+        assert tk._detect_lang("مرحبا بالعالم") == "ar"
+        assert tk._detect_lang("नमस्ते दुनिया") == "hi"
+        assert tk._detect_lang("plain english text") == "en"
+
+    def test_universal_routes_to_backend(self, fake_jieba3):
+        text = "云计算|平台"
+        out = [t for t, _s, _e in tk._universal_splitter(text)]
+        assert out == ["云计算", "平台"]
+
+    def test_universal_falls_back_to_regex(self):
+        text = "plain english text"
+        assert [t for t, _s, _e in tk._universal_splitter(text)] == [
+            "plain", "english", "text",
+        ]
+
+
+class TestWordsSplitterFactory:
+    """WordsSplitter dispatch surface (tokenizer.py:518-581)."""
+
+    def test_whitespace_and_universal_always_available(self):
+        ws = tk.words_splitter("whitespace")
+        assert [t for t, _s, _e in ws("a b")] == ["a", "b"]
+        assert [t for t, _s, _e in tk.words_splitter("universal")("a b")] == ["a", "b"]
+
+    def test_unknown_type_raises_value_error(self):
+        with pytest.raises(ValueError):
+            tk.words_splitter("nope")
+
+    def test_missing_backend_raises_module_not_found(self, monkeypatch):
+        for name in ("jieba3", "jieba"):
+            monkeypatch.setitem(sys.modules, name, None)
+        with pytest.raises(ModuleNotFoundError):
+            tk.words_splitter("jieba")
+
+    def test_explicit_backend_dispatch(self, fake_jieba3):
+        jb = tk.words_splitter("jieba")
+        assert [t for t, _s, _e in jb("云计算|平台")] == ["云计算", "平台"]
