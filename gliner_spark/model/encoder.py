@@ -110,7 +110,8 @@ class DeterministicEncoder:
         self.w_adj_gcn_proj = rng.standard_normal((dim, dim)) * s
         self.w_adj_gat = rng.standard_normal((dim, dim)) * s
         self._token_cache: Dict[str, np.ndarray] = {}
-        self._score_cache: Dict[tuple, np.ndarray] = {}
+        # label_key → {(start_token, end_token) → (C,) score row}
+        self._score_cache: Dict[str, Dict[tuple, np.ndarray]] = {}
 
     # ---- embeddings -----------------------------------------------------
 
@@ -179,8 +180,8 @@ class DeterministicEncoder:
         L = len(tokens)
         if L == 0:
             return np.zeros((len(span_idx), self.dim))
-        starts = np.clip(span_idx[:, 0], 0, L - 1)
-        ends = np.clip(span_idx[:, 1], 0, L - 1)
+        starts = np.clip(span_idx[:, 0], 0, L - 1).tolist()
+        ends = np.clip(span_idx[:, 1], 0, L - 1).tolist()
         # Evict BEFORE computing `missing`: clearing after would drop the
         # keys this call just counted as hits and the fill loop below
         # would KeyError mid-task.
@@ -453,23 +454,29 @@ class DeterministicEncoder:
         C = label_embs.shape[0]
         if L == 0:
             return np.zeros((len(span_idx), C))
-        starts = np.clip(span_idx[:, 0], 0, L - 1)
-        ends = np.clip(span_idx[:, 1], 0, L - 1)
-        cache = self._score_cache
+        # .tolist(): indexing a list with python ints is ~2× indexing
+        # with numpy scalars (each np.int64 subscript pays __index__);
+        # this loop runs L·K times per document.
+        starts = np.clip(span_idx[:, 0], 0, L - 1).tolist()
+        ends = np.clip(span_idx[:, 1], 0, L - 1).tolist()
+        # two-level cache: one sub-dict per label set, so the hot keys
+        # are plain (start_token, end_token) pairs instead of 3-tuples
+        # re-hashing the label_key string on every lookup.
+        cache = self._score_cache.get(label_key)
+        if cache is None:
+            cache = self._score_cache.setdefault(label_key, {})
         # Evict BEFORE computing `missing` (same hazard as
         # span_representations_tokens: a post-hoc clear would evict this
         # call's cache hits and KeyError in the fill loop).
         if len(cache) > 2_000_000:  # bound executor memory
             cache.clear()
-        keys = [
-            (label_key, tokens[s], tokens[e]) for s, e in zip(starts, ends)
-        ]
+        keys = [(tokens[s], tokens[e]) for s, e in zip(starts, ends)]
         missing = [k for k in dict.fromkeys(keys) if k not in cache]
         if missing:
             cat = np.concatenate(
                 [
-                    np.stack([self.token_embedding(a) for _lk, a, _b in missing]),
-                    np.stack([self.token_embedding(b) for _lk, _a, b in missing]),
+                    np.stack([self.token_embedding(a) for a, _b in missing]),
+                    np.stack([self.token_embedding(b) for _a, b in missing]),
                 ],
                 axis=1,
             )

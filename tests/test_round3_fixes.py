@@ -39,7 +39,8 @@ class TestCacheEvictionOrder:
             def __len__(self):
                 return 3_000_000
 
-        enc._score_cache = _Full(enc._score_cache)
+        # wrap the per-label-set sub-dict (the level the bound guards)
+        enc._score_cache["k"] = _Full(enc._score_cache["k"])
         again = enc.score_spans_tokens(["aa", "bb"], sidx, labels, "k")
         np.testing.assert_array_equal(first, again)
 
