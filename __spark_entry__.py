@@ -115,6 +115,11 @@ MINHASH_BANDS = 4
 ANN_K = 5
 ANN_NQ = 50  # queries = vec_id < 50
 BUCKET_BITS = 8
+# the blocked-dedup gate buckets coarser than ANN: at 8 bits the tiny
+# test corpus has NO same-bucket pair above the cosine threshold, so
+# the gate passed vacuously (0 spark rows == 0 oracle rows). 4 bits
+# keeps 2-3 true pairs inside one bucket at every test SF.
+DEDUP_BUCKET_BITS = 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,7 +514,7 @@ def q_dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gliner_spark.functions.vectors import sign_bucket
 
     emb = _emb(spark, sf_dir).withColumn(
-        "bucket", sign_bucket(F.col("embedding"), BUCKET_BITS)
+        "bucket", sign_bucket(F.col("embedding"), DEDUP_BUCKET_BITS)
     )
     return embedding_cosine_pairs(
         emb, threshold=COSINE_T, block_col="bucket"
@@ -541,9 +546,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gliner_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
+    # train_size exercises the sampled-quantizer path at bench scale
+    # (sf0.1 has 5000 vectors > 2048): the fit sees a bounded seeded
+    # sample, the search still scans probed cells exactly.
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < ANN_NQ), k=ANN_K,
-        n_centroids=8, n_probe=2, max_iter=8,
+        n_centroids=8, n_probe=2, max_iter=8, train_size=2048,
     )
 
 
@@ -840,10 +848,10 @@ def _lang_id_case() -> str:
     return f"CASE {' '.join(whens)} ELSE '{langs[-1]}' END"
 
 
-def _bucket_expr(col: str) -> str:
+def _bucket_expr(col: str, bits: int = BUCKET_BITS) -> str:
     terms = " + ".join(
         f"(CASE WHEN {col}[{i + 1}] > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
-        for i in range(BUCKET_BITS)
+        for i in range(bits)
     )
     return f"({terms})"
 
@@ -1038,7 +1046,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_T}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id
- AND {_bucket_expr('a.embedding')} = {_bucket_expr('b.embedding')}
+ AND {_bucket_expr('a.embedding', DEDUP_BUCKET_BITS)} = {_bucket_expr('b.embedding', DEDUP_BUCKET_BITS)}
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_T}
 """,
         "ann_topk_cosine": f"""
