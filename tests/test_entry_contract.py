@@ -68,6 +68,18 @@ class TestContract:
             "ann_ivf",
         }
 
+    def test_no_gate_is_vacuous(self, spark):
+        """Every gated query must emit rows at the driver's correctness
+        SF — a 0-row gate asserts nothing (the round-2 gcn lesson, and
+        round-3's dedup_cosine_blocked found the same way). sf0.001
+        keeps this cheap; every gate that was ever 0-row at sf0.01 was
+        also 0-row at sf0.001."""
+        empty = []
+        for name, fn in entry.queries().items():
+            if fn(spark, "/root/testdata/sf0.001").limit(1).count() == 0:
+                empty.append(name)
+        assert not empty, f"vacuous gates (0 rows): {empty}"
+
     def test_entry_runs_and_has_stable_schema(self, spark):
         df = entry.entry(spark)
         assert set(df.columns) == {
