@@ -81,13 +81,18 @@ class RunManifest:
         key_col: str = "url",
         n_chunks: int = 8,
         count_col: Optional[str] = None,
+        extra_partition_cols: tuple = (),
     ) -> List[ChunkResult]:
         """Process ``source`` chunk-by-chunk with resume.
 
         ``transform`` maps a chunk DataFrame to an output DataFrame.
-        Outputs are written parquet-partitioned by ``chunk``; the
-        overwrite mode is per-partition (dynamic), so retries replace
-        rather than duplicate.
+        Outputs are written parquet-partitioned by ``chunk`` (plus any
+        ``extra_partition_cols`` — e.g. ``("pred",)`` materializes the
+        north rule's predicate-partitioned graph table, with predicate
+        scans pruning to their directories); the overwrite mode is
+        per-partition (dynamic), so retries replace rather than
+        duplicate — a chunk replay owns every (chunk, pred) partition
+        it rewrites.
         """
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         done = self.completed_chunks()
@@ -95,6 +100,7 @@ class RunManifest:
         chunked = source.withColumn(
             "__chunk", F.pmod(F.hash(F.col(key_col)), F.lit(n_chunks))
         )
+        part_cols = ["chunk", *extra_partition_cols]
         for k in range(n_chunks):
             if k in done:
                 results.append(ChunkResult(k, 0, 0, 0, skipped=True))
@@ -102,7 +108,7 @@ class RunManifest:
             t0 = time.time()
             chunk_df = chunked.where(F.col("__chunk") == k).drop("__chunk")
             out = transform(chunk_df).withColumn("chunk", F.lit(k))
-            out.write.mode("overwrite").partitionBy("chunk").parquet(out_path)
+            out.write.mode("overwrite").partitionBy(*part_cols).parquet(out_path)
             # Read back with an explicit schema: an all-empty chunk writes
             # no part files and schema inference would fail on it.
             n_rows = (

@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--chunks", type=int, default=64)
     p.add_argument("--salt", type=int, default=64)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument(
+        "--partition-by-pred", action="store_true",
+        help="materialize the graph table partitioned by (chunk, pred) "
+        "and append per-predicate lineage rows (sinks.graph contract)",
+    )
     return p.parse_args()
 
 
@@ -75,17 +80,35 @@ def main():
             min_partitions=0,  # the salted repartition above owns layout
         )
 
+    extra = ("pred",) if args.partition_by_pred else ()
     results = RunManifest(spark, args.manifest, args.run_id).run(
-        pages, transform, args.out, n_chunks=args.chunks
+        pages, transform, args.out, n_chunks=args.chunks,
+        extra_partition_cols=extra,
     )
     done = sum(1 for r in results if not r.skipped)
     skipped = sum(1 for r in results if r.skipped)
     rows = sum(r.n_rows for r in results)
-    print(
-        json.dumps(
-            {"chunks_run": done, "chunks_skipped": skipped, "new_rows": rows}
+    summary = {"chunks_run": done, "chunks_skipped": skipped, "new_rows": rows}
+    if args.partition_by_pred and done:
+        # per-predicate lineage over the committed table (audit rows the
+        # north rule asks for alongside the chunk-level manifest)
+        from pyspark.sql import functions as F
+
+        lineage = (
+            spark.read.parquet(args.out)
+            .groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(args.run_id).alias("run_id"),
+                F.col("pred").cast("string"),
+                F.col("n_rows").cast("long"),
+                F.lit(0).cast("long").alias("wall_ms"),
+                F.current_timestamp().alias("written_ts"),
+            )
         )
-    )
+        lineage.write.mode("append").parquet(f"{args.out}_lineage")
+        summary["preds"] = lineage.count()
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -37,7 +37,7 @@ class TestSubmit:
         out = str(tmp_path / "triples")
         man = str(tmp_path / "manifest")
 
-        def submit(run_id, master="local[2]", out_dir=None, man_dir=None):
+        def submit(run_id, master="local[2]", out_dir=None, man_dir=None, flags=()):
             cmd = [
                 SPARK_SUBMIT,
                 "--master", master,
@@ -55,6 +55,7 @@ class TestSubmit:
                 "--run-id", run_id,
                 "--chunks", "2",
                 "--salt", "4",
+                *flags,
             ]
             # cwd OUTSIDE the repo: the zip must supply gliner_spark
             proc = subprocess.run(
@@ -76,11 +77,27 @@ class TestSubmit:
 
         # north-rule shape: the SAME submit at a 4x-larger cluster size
         # (local[8]) produces byte-identical triples — parallelism never
-        # changes results (the cross-process determinism contract)
+        # changes results (the cross-process determinism contract).
+        # This leg also materializes the predicate-partitioned graph
+        # table (+ per-predicate lineage), the rule's output contract.
         out8 = str(tmp_path / "triples8")
         man8 = str(tmp_path / "manifest8")
-        big = submit("r8", master="local[8]", out_dir=out8, man_dir=man8)
-        assert big["chunks_run"] == 2
-        rows_small = sorted(map(tuple, got.collect()))
-        rows_big = sorted(map(tuple, spark.read.parquet(out8).collect()))
+        big = submit(
+            "r8", master="local[8]", out_dir=out8, man_dir=man8,
+            flags=("--partition-by-pred",),
+        )
+        assert big["chunks_run"] == 2 and big.get("preds", 0) >= 1
+        big_df = spark.read.parquet(out8)
+        cols = sorted(set(got.columns) & set(big_df.columns))
+        rows_small = sorted(map(tuple, got.select(*cols).collect()))
+        rows_big = sorted(map(tuple, big_df.select(*cols).collect()))
         assert rows_small == rows_big
+        # pred partition directories + lineage audit rows exist
+        assert any(
+            d.startswith("pred=")
+            for d in os.listdir(os.path.join(out8, "chunk=0"))
+        )
+        lin = spark.read.parquet(out8 + "_lineage")
+        assert {r.pred for r in lin.collect()} == {
+            r.pred for r in big_df.select("pred").distinct().collect()
+        }
