@@ -93,6 +93,7 @@ def run_streaming_kg(
     schema: str = PAGES_SCHEMA,
     dedup_text_col: str = "text",
     timeout_sec: int | None = None,
+    extra_partition_cols: tuple = (),
 ):
     """Continuous KG construction with cross-batch dedup in ONE query:
 
@@ -105,6 +106,12 @@ def run_streaming_kg(
     re-fetches without any batch-side join, and its state is one row
     per distinct content hash. ``trigger(availableNow=True)`` drains
     then stops — cron-style incremental runs.
+
+    ``extra_partition_cols=("pred",)`` materializes the streaming
+    output as the predicate-partitioned graph table (the batch sink's
+    layout, sinks/graph.py): each epoch owns its
+    (ingest_batch, pred=*) partitions, replays replace them, and
+    predicate scans prune across every epoch.
     """
     from .stateful import streaming_exact_dedup
 
@@ -113,10 +120,11 @@ def run_streaming_kg(
     deduped = streaming_exact_dedup(stream, text_col=dedup_text_col).drop(
         "content_hash"
     )
+    part_cols = ["ingest_batch", *extra_partition_cols]
 
     def handle(batch_df: DataFrame, batch_id: int):
         out = transform(batch_df).withColumn("ingest_batch", F.lit(batch_id))
-        out.write.mode("overwrite").partitionBy("ingest_batch").parquet(out_path)
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(out_path)
 
     q = (
         deduped.writeStream.foreachBatch(handle)

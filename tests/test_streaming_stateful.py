@@ -98,3 +98,42 @@ class TestStreamingKgWithDedup:
         run_streaming_kg(spark, src, out, ckpt, transform, schema=pages_schema)
         got2 = spark.read.parquet(out)
         assert got2.count() == 2  # u4 deduped by state, u5 extracted
+
+    def test_streaming_graph_table_partitioned_by_pred(self, spark, tmp_path):
+        """The streaming sink can materialize the predicate-partitioned
+        graph table directly: each epoch owns (ingest_batch, pred=*)."""
+        import os
+
+        from gliner_spark.operators.extract import extract_triples
+        from gliner_spark.streaming.ingest import run_streaming_kg
+
+        src = str(tmp_path / "pages")
+        out = str(tmp_path / "graph")
+        ckpt = str(tmp_path / "gckpt")
+        gaz = {"acme": "organization", "john": "person"}
+        pats = [("person", "works_at", "organization")]
+
+        def transform(df):
+            return extract_triples(
+                df, ["person", "organization"], ["works_at"],
+                gazetteer=gaz, patterns=pats, scoring="gazetteer",
+                min_partitions=0,
+            )
+
+        pages_schema = (
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        rows = [("u1", None, None, "john works at acme", "en")]
+        spark.createDataFrame(rows, pages_schema).write.mode("append").parquet(src)
+        run_streaming_kg(
+            spark, src, out, ckpt, transform, schema=pages_schema,
+            extra_partition_cols=("pred",),
+        )
+        batches = [d for d in os.listdir(out) if d.startswith("ingest_batch=")]
+        assert batches
+        assert any(
+            d.startswith("pred=works_at")
+            for d in os.listdir(os.path.join(out, batches[0]))
+        )
+        got = spark.read.parquet(out)
+        assert got.count() == 1 and got.first().pred == "works_at"
