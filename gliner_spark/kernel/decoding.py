@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
-@dataclass
+@dataclass(slots=True)
 class Span:
     """Detected entity span. Mirrors decoder.py:11-28 (word-level, end inclusive)."""
 

@@ -471,8 +471,19 @@ class DeterministicEncoder:
         if len(cache) > 2_000_000:  # bound executor memory
             cache.clear()
         keys = [(tokens[s], tokens[e]) for s, e in zip(starts, ends)]
-        missing = [k for k in dict.fromkeys(keys) if k not in cache]
-        if missing:
+        # single pass: fill hits immediately, collect miss positions —
+        # halves the dict traffic vs (dedup-scan + second fill pass)
+        out = np.empty((len(keys), C))
+        miss_pos: Dict[tuple, list] = {}
+        get = cache.get
+        for i, k in enumerate(keys):
+            row = get(k)
+            if row is None:
+                miss_pos.setdefault(k, []).append(i)
+            else:
+                out[i] = row
+        if miss_pos:
+            missing = list(miss_pos)
             cat = np.concatenate(
                 [
                     np.stack([self.token_embedding(a) for a, _b in missing]),
@@ -485,9 +496,8 @@ class DeterministicEncoder:
             rows = (_mm(rep, label_embs.T) - self.margin) / self.temperature
             for k, r in zip(missing, rows):
                 cache[k] = r
-        out = np.empty((len(keys), C))
-        for i, k in enumerate(keys):
-            out[i] = cache[k]
+                for i in miss_pos[k]:
+                    out[i] = r
         return out
 
     def token_label_scores(
