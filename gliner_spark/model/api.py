@@ -75,6 +75,41 @@ class SparkGLiNER:
         pipe = self._pipe_for(labels)
         return [pipe.predict_entities(t, threshold=threshold) for t in texts]
 
+    # ---- bi-encoder precompute verbs (model.py:1627-1728) ------------
+
+    def encode_labels(self, labels: Sequence[str], batch_size: int = 8):
+        """Label set → (C, dim) embedding matrix, computed once and
+        reusable across predict_with_embeds calls / jobs (the M8
+        precompute, reference model.py:1627-1656). ``batch_size`` is
+        accepted for signature parity; the deterministic encoder embeds
+        per label either way."""
+        return self._pipe.encoder.embed_labels(list(labels))
+
+    def predict_with_embeds(
+        self, text: str, labels_embeddings, labels: Sequence[str],
+        threshold: Optional[float] = None, **kw,
+    ) -> List[Dict[str, Any]]:
+        """Single-text prediction with precomputed label embeddings
+        (model.py:1706-1728)."""
+        return self.batch_predict_with_embeds(
+            [text], labels_embeddings, labels, threshold=threshold, **kw
+        )[0]
+
+    def batch_predict_with_embeds(
+        self, texts: Sequence[str], labels_embeddings, labels: Sequence[str],
+        threshold: Optional[float] = None, **kw,
+    ) -> List[List[Dict[str, Any]]]:
+        """Batched prediction with precomputed label embeddings
+        (model.py:1659-1704). Bi-encoder only — session (uni-encoder)
+        backends embed labels in-graph and reject the override."""
+        pipe = GLiNERPipeline(
+            list(labels), (), self.config,
+            gazetteer=self.gazetteer, label_embeddings=labels_embeddings,
+        )
+        return pipe.predict_entities_batch(
+            list(texts), threshold=threshold, **kw
+        )
+
     # ---- table verbs (the Spark-native path) --------------------------
 
     def batch_predict_entities(self, pages: DataFrame, **kw) -> DataFrame:

@@ -98,6 +98,7 @@ class GLiNERPipeline:
         encoder: Optional[DeterministicEncoder] = None,
         gazetteer: Optional[Dict[str, str]] = None,
         patterns: Optional[Sequence[Tuple[str, str, str]]] = None,
+        label_embeddings=None,
     ):
         """``gazetteer`` maps lowercased surface forms → entity label: any
         candidate span whose exact text slice matches gets a confident
@@ -109,6 +110,14 @@ class GLiNERPipeline:
         whose argmax labels match a pattern gets a confident adjacency
         and relation score — the pattern-based triple-extraction route
         the north star names alongside the learned relex head.
+
+        ``label_embeddings`` (C, dim) overrides the bi-encoder label
+        precompute — the reference's ``predict_with_embeds`` surface
+        (gliner/model.py:1659-1728): callers embed the label set once
+        (``encoder.embed_labels`` / the facade's ``encode_labels``) and
+        reuse it across many pipelines/jobs. Only meaningful on
+        bi-encoder backends; session (uni-encoder ONNX) graphs embed
+        labels in-graph via the prompt and reject the override.
         """
         self.config = config or PipelineConfig()
         self.encoder = encoder or get_encoder(self.config.dim, self.config.seed)
@@ -156,6 +165,12 @@ class GLiNERPipeline:
                     f"graph's span grid wins — construct the encoder with "
                     f"the configured width or align the config"
                 )
+            if label_embeddings is not None:
+                raise ValueError(
+                    "label_embeddings override is a bi-encoder surface; "
+                    "uni-encoder session graphs embed labels in-graph via "
+                    "the <<ENT>> prompt (gliner/model.py:1875-1901)"
+                )
             self.label_embs = None
             self.rel_embs = None
             if self.relations and not getattr(self.encoder, "supports_relations", False):
@@ -167,8 +182,27 @@ class GLiNERPipeline:
         else:
             # Bi-encoder style precompute: label embeddings once per job
             # (gliner/model.py:1627-1656). In Spark these live inside the
-            # broadcast pipeline object.
-            self.label_embs = self.encoder.embed_labels(self.labels)
+            # broadcast pipeline object. ``label_embeddings`` short-
+            # circuits the precompute (predict_with_embeds surface).
+            if label_embeddings is not None:
+                embs = np.asarray(label_embeddings, dtype=np.float64)
+                if embs.shape != (len(self.labels), self.config.dim):
+                    raise ValueError(
+                        f"label_embeddings shape {embs.shape} != "
+                        f"({len(self.labels)}, {self.config.dim})"
+                    )
+                self.label_embs = embs
+                # the cross-document score cache is keyed by the LABEL
+                # STRINGS; custom embeddings for the same strings would
+                # poison it — salt the key with a content digest
+                # (blake2b, not hash(): PYTHONHASHSEED randomizes the
+                # latter across workers)
+                import hashlib
+
+                digest = hashlib.blake2b(embs.tobytes(), digest_size=8).hexdigest()
+                self._label_key = "\x1f".join(self.labels) + "\x1f#embs:" + digest
+            else:
+                self.label_embs = self.encoder.embed_labels(self.labels)
             self.rel_embs = (
                 self.encoder.embed_labels(self.relations) if self.relations else None
             )

@@ -42,6 +42,55 @@ class TestSingleDocVerbs:
         assert [e["label"] for e in ents] == ["person"]
 
 
+class TestWithEmbedsVerbs:
+    """encode_labels / *_with_embeds — the bi-encoder precompute surface
+    (reference model.py:1627-1728)."""
+
+    def test_precomputed_embeds_match_default_path(self):
+        m = SparkGLiNER(["person", "organization"], (), PipelineConfig(threshold=0.5))
+        embs = m.encode_labels(["person", "organization"])
+        a = m.predict_entities(TEXT)
+        b = m.predict_with_embeds(TEXT, embs, ["person", "organization"])
+        assert a == b  # same embeddings → bit-identical decode
+
+    def test_custom_embeds_change_scores(self):
+        import numpy as np
+
+        m = SparkGLiNER(["person"], (), PipelineConfig(threshold=0.5))
+        embs = m.encode_labels(["person"])
+        base = m.predict_with_embeds(TEXT, embs, ["person"])
+        shuffled = np.roll(embs, 3, axis=1)  # a genuinely different vector
+        other = m.predict_with_embeds(TEXT, shuffled, ["person"])
+        assert base != other  # the override actually reaches scoring
+
+    def test_batch_matches_per_text(self):
+        m = SparkGLiNER(["person"], (), PipelineConfig(threshold=0.5))
+        embs = m.encode_labels(["person"])
+        texts = [TEXT, "nothing to see", ""]
+        batch = m.batch_predict_with_embeds(texts, embs, ["person"])
+        assert batch == [m.predict_with_embeds(t, embs, ["person"]) for t in texts]
+
+    def test_shape_mismatch_raises(self):
+        import numpy as np
+
+        m = SparkGLiNER(["person"], (), PipelineConfig(threshold=0.5))
+        with pytest.raises(ValueError, match="shape"):
+            m.predict_with_embeds(TEXT, np.zeros((3, 7)), ["person"])
+
+    def test_session_backend_rejects_override(self):
+        import numpy as np
+
+        from gliner_spark.model.ort_testing import fake_span_encoder_factory
+        from gliner_spark.model.pipeline import GLiNERPipeline
+
+        with pytest.raises(ValueError, match="bi-encoder"):
+            GLiNERPipeline(
+                ["x"], (), PipelineConfig(),
+                encoder=fake_span_encoder_factory(),
+                label_embeddings=np.zeros((1, 64)),
+            )
+
+
 class TestTableVerbs:
     def test_batch_predict_and_evaluate(self, spark, model):
         pages = spark.createDataFrame(
