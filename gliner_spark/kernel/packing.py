@@ -29,6 +29,21 @@ import numpy as np
 
 
 @dataclass
+class InferencePackingConfig:
+    """Packing knobs (infer_packing.py:21-33, verbatim fields).
+
+    ``max_length``: token capacity of one packed stream;
+    ``sep_token_id``: reserved (unused in the reference too);
+    ``streams_per_batch``: streams per model call — the session batch's
+    token budget is max_length × streams_per_batch.
+    """
+
+    max_length: int
+    sep_token_id: int | None = None
+    streams_per_batch: int = 1
+
+
+@dataclass
 class PackedBatch:
     """Packed streams + the bookkeeping needed to unpack."""
 

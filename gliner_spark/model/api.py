@@ -75,6 +75,12 @@ class SparkGLiNER:
         pipe = self._pipe_for(labels)
         return [pipe.predict_entities(t, threshold=threshold) for t in texts]
 
+    def configure_inference_packing(self, config) -> None:
+        """Default packing for batched session inference (reference
+        model.py:217-227). Pass kernel.packing.InferencePackingConfig
+        or None to disable."""
+        self._pipe.configure_inference_packing(config)
+
     # ---- bi-encoder precompute verbs (model.py:1627-1728) ------------
 
     def encode_labels(self, labels: Sequence[str], batch_size: int = 8):

@@ -143,6 +143,10 @@ class GLiNERPipeline:
             (h, r, t) for (h, r, t) in (patterns or []) if r in self.relations
         }
         self._label_pos = {lab: i for i, lab in enumerate(self.labels)}
+        # inference packing (reference model.py:217-227): None = fixed
+        # batch_size sub-batches; a config switches the session path to
+        # token-budget batching (see _session_chunks)
+        self._packing_config = None
         # stable identity of this label set for the encoder's score
         # cache (the encoder singleton is shared across pipelines)
         self._label_key = "\x1f".join(self.labels)
@@ -208,6 +212,44 @@ class GLiNERPipeline:
             )
 
     # ------------------------------------------------------------------
+    def configure_inference_packing(self, config) -> None:
+        """Set the default packing behavior for batched session calls
+        (reference model.py:217-227; ``None`` disables).
+
+        With a config, sub-batches are formed by TOKEN BUDGET
+        (max_length × streams_per_batch) over the length-sorted docs
+        instead of a fixed document count — short docs batch wide, long
+        docs batch narrow, so every ``session.run`` sees a bounded
+        padded area (the padding-elimination win packing exists for,
+        infer_packing.py:164-208, within the longest-padding feed the
+        exported graphs accept). Output-identical to unpacked calls:
+        per-document logits are independent of batch composition
+        (proven by the feed-consuming fake-session tests).
+        """
+        self._packing_config = config
+
+    def _session_chunks(self, order, prepared):
+        """Yield index-chunks of ``order`` (length-sorted positions into
+        ``prepared``) for one session call each."""
+        bs = max(1, self.config.batch_size)
+        pc = self._packing_config
+        if pc is None:
+            for at in range(0, len(order), bs):
+                yield order[at : at + bs]
+            return
+        budget = max(1, int(pc.max_length) * max(1, int(pc.streams_per_batch)))
+        chunk: list = []
+        used = 0
+        for j in order:
+            n = len(prepared[j][1])
+            if chunk and used + n > budget:
+                yield chunk
+                chunk, used = [], 0
+            chunk.append(j)
+            used += n
+        if chunk:
+            yield chunk
+
     def _prepare(self, text: str, lang: str):
         """Tokenize, truncate, build offset maps (model.py:1181-1208 +
         truncation processor.py:489-493)."""
@@ -427,9 +469,8 @@ class GLiNERPipeline:
                     prepared.append((i, tokens, starts, ends))
         results: List[List[Dict[str, Any]]] = [[] for _ in range(n)]
         order = sorted(range(len(prepared)), key=lambda j: -len(prepared[j][1]))
-        bs = max(1, self.config.batch_size)
-        for at in range(0, len(order), bs):
-            chunk = [prepared[j] for j in order[at : at + bs]]
+        for idx_chunk in self._session_chunks(order, prepared):
+            chunk = [prepared[j] for j in idx_chunk]
             probs_list = self.encoder.span_probs([c[1] for c in chunk], self.labels)
             for (i, tokens, starts, ends), probs in zip(chunk, probs_list):
                 text = texts[i]
@@ -683,9 +724,8 @@ class GLiNERPipeline:
                     prepared.append((i, tokens, starts, ends))
         results: List[Tuple[list, list]] = [([], []) for _ in range(n)]
         order = sorted(range(len(prepared)), key=lambda j: -len(prepared[j][1]))
-        bs = max(1, self.config.batch_size)
-        for at in range(0, len(order), bs):
-            chunk = [prepared[j] for j in order[at : at + bs]]
+        for idx_chunk in self._session_chunks(order, prepared):
+            chunk = [prepared[j] for j in idx_chunk]
             outs = self.encoder.relex_outputs(
                 [c[1] for c in chunk], self.labels, self.relations
             )

@@ -114,3 +114,64 @@ class TestPackedEquivalence:
         assert np.array_equal(packed1.input_ids, packed2.input_ids)
         assert np.array_equal(packed1.segment_ids, packed2.segment_ids)
         assert packed1.stream_of == packed2.stream_of
+
+
+class TestInferencePackingConfig:
+    """configure_inference_packing (reference model.py:217-227): token-
+    budget session sub-batches, output-identical to fixed batching."""
+
+    def _model(self):
+        from gliner_spark.model import PipelineConfig, SparkGLiNER
+        from gliner_spark.model.ort_testing import fake_span_encoder_factory
+        from gliner_spark.model.pipeline import GLiNERPipeline
+
+        m = SparkGLiNER.__new__(SparkGLiNER)
+        m.labels = ["thing"]
+        m.relations = []
+        m.config = PipelineConfig(threshold=0.5)
+        m.gazetteer = None
+        m.patterns = None
+        m._pipe = GLiNERPipeline(
+            ["thing"], [], m.config, encoder=fake_span_encoder_factory()
+        )
+        return m
+
+    TEXTS = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two",
+        "a much longer document with many more words than the others here",
+        "tiny",
+        "mid size doc right here",
+    ]
+
+    def test_output_identical_with_and_without_packing(self):
+        from gliner_spark.kernel.packing import InferencePackingConfig
+
+        m = self._model()
+        base = m._pipe.predict_entities_batch(self.TEXTS)
+        m.configure_inference_packing(
+            InferencePackingConfig(max_length=8, streams_per_batch=2)
+        )
+        packed = m._pipe.predict_entities_batch(self.TEXTS)
+        assert base == packed
+        m.configure_inference_packing(None)
+        assert m._pipe.predict_entities_batch(self.TEXTS) == base
+
+    def test_chunks_respect_token_budget(self):
+        from gliner_spark.kernel.packing import InferencePackingConfig
+
+        m = self._model()
+        pipe = m._pipe
+        pipe.configure_inference_packing(
+            InferencePackingConfig(max_length=10, streams_per_batch=1)
+        )
+        prepared = []
+        for i, t in enumerate(self.TEXTS):
+            tokens, s, e = pipe._prepare(t, "en")
+            prepared.append((i, tokens, s, e))
+        order = sorted(range(len(prepared)), key=lambda j: -len(prepared[j][1]))
+        chunks = list(pipe._session_chunks(order, prepared))
+        assert sorted(j for c in chunks for j in c) == sorted(order)
+        for c in chunks:
+            total = sum(len(prepared[j][1]) for j in c)
+            assert total <= 10 or len(c) == 1  # over-long doc rides alone
