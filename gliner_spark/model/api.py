@@ -53,6 +53,62 @@ class SparkGLiNER:
         pat = cfg.pop("patterns", None)
         return cls(labels, relations, PipelineConfig(**cfg), gaz, pat)
 
+    # ---- artifact round-trip (reference model.py:259-311, 559-657) ----
+
+    def save_pretrained(self, path: str) -> str:
+        """Persist the configured model to a directory.
+
+        The reference saves weights + config + tokenizer; in this build
+        the learned state IS the config (labels, relations, every
+        PipelineConfig knob, gazetteer, patterns — weights are derived
+        deterministically from ``seed``), so one ``gliner_spark_config
+        .json`` round-trips the whole model. The directory is the unit
+        you ship to a cluster with ``spark-submit --files`` and load
+        from ``SparkFiles.get`` on workers. Returns the config path.
+        """
+        import dataclasses
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        blob = {
+            "format_version": 1,
+            "labels": self.labels,
+            "relations": self.relations,
+            "config": dataclasses.asdict(self.config),
+            "gazetteer": self.gazetteer,
+            "patterns": [list(p) for p in self.patterns] if self.patterns else None,
+        }
+        cfg_path = os.path.join(path, "gliner_spark_config.json")
+        with open(cfg_path, "w") as f:
+            json.dump(blob, f, indent=2, sort_keys=True)
+        return cfg_path
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "SparkGLiNER":
+        """Load a model saved by :meth:`save_pretrained` (directory or
+        the config file itself)."""
+        import json
+        import os
+
+        cfg_path = (
+            path
+            if path.endswith(".json")
+            else os.path.join(path, "gliner_spark_config.json")
+        )
+        with open(cfg_path) as f:
+            blob = json.load(f)
+        if blob.get("format_version") != 1:
+            raise ValueError(f"unsupported model format: {blob.get('format_version')}")
+        patterns = (
+            [tuple(p) for p in blob["patterns"]] if blob.get("patterns") else None
+        )
+        return cls(
+            blob["labels"], blob.get("relations") or (),
+            PipelineConfig(**blob["config"]),
+            gazetteer=blob.get("gazetteer"), patterns=patterns,
+        )
+
     # ---- single-document verbs (reference model.py:1493-1561) --------
 
     def predict_entities(

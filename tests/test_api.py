@@ -42,6 +42,32 @@ class TestSingleDocVerbs:
         assert [e["label"] for e in ents] == ["person"]
 
 
+class TestSaveLoadRoundTrip:
+    """save_pretrained / from_pretrained (reference model.py:259-311,
+    559-657): the config directory round-trips the whole model — same
+    predictions before and after."""
+
+    def test_round_trip_predictions_identical(self, model, tmp_path):
+        p = model.save_pretrained(str(tmp_path / "model_dir"))
+        assert p.endswith("gliner_spark_config.json")
+        loaded = SparkGLiNER.from_pretrained(str(tmp_path / "model_dir"))
+        assert loaded.predict_entities(TEXT) == model.predict_entities(TEXT)
+        assert loaded.predict_relations(TEXT) == model.predict_relations(TEXT)
+
+    def test_load_from_config_file_path(self, model, tmp_path):
+        p = model.save_pretrained(str(tmp_path / "m2"))
+        loaded = SparkGLiNER.from_pretrained(p)
+        assert loaded.labels == model.labels
+
+    def test_unknown_format_raises(self, tmp_path):
+        import json
+
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"format_version": 99}))
+        with pytest.raises(ValueError, match="format"):
+            SparkGLiNER.from_pretrained(str(bad))
+
+
 class TestWithEmbedsVerbs:
     """encode_labels / *_with_embeds — the bi-encoder precompute surface
     (reference model.py:1627-1728)."""
