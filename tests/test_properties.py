@@ -206,3 +206,32 @@ class TestSubwordFeedProperties:
             assert feed["span_mask"][b].sum() == sum(
                 1 for s in range(L) for k in range(5) if s + k < L
             )
+
+
+class TestUniversalSplitterLaws:
+    """The universal auto-detect splitter must preserve the offset
+    integrity law for ANY text regardless of which backend (or the
+    regex fallback) the detector routes to."""
+
+    @given(
+        st.text(
+            alphabet=st.characters(max_codepoint=0xFFFF),
+            max_size=150,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_universal_offsets_slice_back(self, text):
+        from gliner_spark.kernel.tokenization import _universal_splitter
+
+        for tok, s, e in _universal_splitter(text):
+            assert text[s:e] == tok  # byte-identical slice invariant
+            assert 0 <= s < e <= len(text)
+
+    @given(st.text(max_size=100))
+    @settings(max_examples=100, deadline=None)
+    def test_detect_lang_total_and_deterministic(self, text):
+        from gliner_spark.kernel.tokenization import _detect_lang
+
+        a = _detect_lang(text)
+        assert a == _detect_lang(text)
+        assert isinstance(a, str) and a
