@@ -38,6 +38,7 @@ from gliner_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash_pairs,
 )
 from gliner_spark.operators.extract import extract_entities, extract_triples
@@ -106,6 +107,7 @@ JACCARD_T = 0.5
 # than this many docs are dropped BEFORE pair generation (the hot-key
 # guard); Jaccard is then computed over the capped sets on both sides.
 JACCARD_MAXDF = 2
+SEGMENT_K = 10  # k-word segments for sub-document (C4-style) dedup
 COSINE_T = 0.45
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
@@ -483,6 +485,14 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: repeated k-word segments survive only at
+    their first (doc_id, pos) occurrence; docs re-assemble from the
+    surviving segments (the boilerplate-removal pass exact dedup
+    can't do). Exact SQL oracle — strings and ints only."""
+    return segment_dedup(_docs(spark, sf_dir), k=SEGMENT_K)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _docs(spark, sf_dir),
@@ -649,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_segments": q_dedup_segments,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1034,6 +1045,29 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
 WITH {_SHINGLE_CTE_CAPPED.strip().rstrip(',')},
 {_JACCARD_PAIRS.strip().lstrip()}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
+""",
+        "dedup_segments": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+segs AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+         array_to_string(ws[(u.i - 1) * {SEGMENT_K} + 1 : u.i * {SEGMENT_K}], ' ') AS seg
+  FROM (SELECT doc_id, ws,
+               unnest([{{'i': i}} for i in range(1, CAST(ceil(len(ws) / {SEGMENT_K}.0) AS INT) + 1)]) AS u
+        FROM d) q
+),
+keyed AS (SELECT doc_id, pos, seg, doc_id * {1 << 20} + pos AS k FROM segs),
+firsts AS (SELECT seg, min(k) AS fk FROM keyed GROUP BY seg),
+kept AS (SELECT ky.doc_id, ky.pos, ky.seg
+         FROM keyed ky JOIN firsts f ON ky.seg = f.seg AND ky.k = f.fk),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS INT) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id,
+               CAST(ceil(len(string_split(text, ' ')) / {SEGMENT_K}.0) AS INT) AS n_segments
+        FROM documents)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text, t.n_segments,
+       CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept
+FROM tot t LEFT JOIN agg a USING (doc_id)
 """,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),

@@ -336,6 +336,72 @@ def simhash_pairs(
     return pairs
 
 
+def segment_dedup(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document dedup: drop repeated k-word segments, keep first
+    occurrence (the C4-style "remove duplicated spans" pass — exact
+    dedup misses boilerplate shared by otherwise-distinct pages;
+    paragraph/segment-level removal is the standard fix in web-corpus
+    training pipelines).
+
+    Semantics: each doc splits into consecutive disjoint k-word
+    segments; a segment survives only at its globally FIRST occurrence
+    under the total order (doc_id, position) — later docs (and later
+    repeats within one doc) lose it. Output one row per input doc:
+    (id, clean_text, n_segments, n_kept); clean_text re-joins the
+    surviving segments in position order ('' when everything was seen
+    before).
+
+    Scale shape: segment explode → map-side-combined groupBy(seg) min
+    → equi-join back → groupBy(doc) reassembly. The first-occurrence
+    key packs (doc_id, pos) into one int64 (doc_id·2²⁰ + pos — safe
+    while doc_id < 2⁴³ and docs stay under 2²⁰ segments, i.e. far past
+    the 10¹²-doc design point; the same expression runs in the SQL
+    oracle). A boilerplate segment's occurrences do meet in the
+    groupBy/join on ``seg``, but the aggregate is a partial min (no
+    row colocation before combine) and the join's build side is one
+    row per distinct segment, so AQE's skew split handles hot keys.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(ws) / F.lit(k)).cast("int")
+    seg_expr = F.transform(
+        F.sequence(F.lit(1), n_seg),
+        lambda i: F.array_join(F.slice(ws, (i - F.lit(1)) * k + F.lit(1), k), " "),
+    )
+    base = df.select(F.col(id_col).alias("_id"), seg_expr.alias("_segs"))
+    segs = base.select(
+        "_id", F.posexplode(F.col("_segs")).alias("pos", "seg")
+    ).withColumn("k", F.col("_id").cast("long") * F.lit(1 << 20) + F.col("pos"))
+    firsts = segs.groupBy("seg").agg(F.min("k").alias("fk"))
+    kept = segs.join(firsts, "seg").where(F.col("k") == F.col("fk"))
+    agg = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"), n_seg.alias("n_segments")
+    )
+    return (
+        totals.join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.45,

@@ -223,3 +223,54 @@ class TestEmbeddingCosineRoutes:
         docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError, match="multiple of 4"):
             simhash_table(docs, bits=62)
+
+
+class TestSegmentDedup:
+    """Sub-document (C4-style) dedup: repeated k-word segments survive
+    only at their first (doc_id, pos) occurrence."""
+
+    def test_first_occurrence_wins(self, spark):
+        from gliner_spark.operators.dedup import segment_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c x y z"),        # segs: "a b c", "x y z"... k=3
+                (2, "a b c q r s"),        # "a b c" seen in doc 1 → dropped
+                (3, "q r s q r s"),        # "q r s" seen in doc 2; repeat within doc too
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in segment_dedup(df, k=3).collect()}
+        assert out[1].clean_text == "a b c x y z" and out[1].n_kept == 2
+        assert out[2].clean_text == "q r s" and out[2].n_kept == 1
+        assert out[3].clean_text == "" and out[3].n_kept == 0
+        assert out[3].n_segments == 2
+
+    def test_within_doc_repeat_dropped(self, spark):
+        from gliner_spark.operators.dedup import segment_dedup
+
+        df = spark.createDataFrame(
+            [(7, "p q r p q r tail end x")], "doc_id long, text string"
+        )
+        row = segment_dedup(df, k=3).first()
+        assert row.clean_text == "p q r tail end x"
+        assert row.n_segments == 3 and row.n_kept == 2
+
+    def test_order_preserved_after_drops(self, spark):
+        from gliner_spark.operators.dedup import segment_dedup
+
+        df = spark.createDataFrame(
+            [(1, "dup seg"), (2, "first bit dup seg last bit")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in segment_dedup(df, k=2).collect()}
+        assert out[2].clean_text == "first bit last bit"  # middle seg gone, order kept
+
+    def test_every_doc_gets_a_row(self, spark):
+        from gliner_spark.operators.dedup import segment_dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = segment_dedup(docs, k=10)
+        assert out.count() == docs.count()
+        dropped = out.where("n_kept < n_segments").count()
+        assert dropped > 0  # the corpus genuinely contains repeated segments
