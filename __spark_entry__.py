@@ -108,6 +108,8 @@ JACCARD_T = 0.5
 # guard); Jaccard is then computed over the capped sets on both sides.
 JACCARD_MAXDF = 2
 SEGMENT_K = 10  # k-word segments for sub-document (C4-style) dedup
+DECONTAM_N = 8  # n-gram width for train/test decontamination
+DECONTAM_EVAL_MAX_ID = 20  # docs with doc_id < this act as the "eval set"
 COSINE_T = 0.45
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
@@ -493,6 +495,19 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(_docs(spark, sf_dir), k=SEGMENT_K)
 
 
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (GPT-3-style n-gram pass): flag every
+    corpus doc sharing an 8-gram with the eval subset (doc_id <
+    DECONTAM_EVAL_MAX_ID stands in for a benchmark set — those docs
+    self-flag by construction, near-dups of them get caught). The eval
+    n-gram set rides a broadcast join; the corpus never shuffles."""
+    from gliner_spark.operators.decontaminate import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.where(F.col("doc_id") < DECONTAM_EVAL_MAX_ID)
+    return contamination_flags(docs, eval_df, n=DECONTAM_N)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _docs(spark, sf_dir),
@@ -660,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_segments": q_dedup_segments,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1068,6 +1084,22 @@ tot AS (SELECT doc_id,
 SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text, t.n_segments,
        CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept
 FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        "dedup_decontaminate": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(ws[i:i+{DECONTAM_N - 1}], ' ')
+            for i in range(1, len(ws) - {DECONTAM_N - 2})]
+         )) AS gram
+  FROM d
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < {DECONTAM_EVAL_MAX_ID}),
+hits AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hits
+         FROM g JOIN ev USING (gram) GROUP BY doc_id)
+SELECT d2.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d2 LEFT JOIN hits h USING (doc_id)
 """,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),

@@ -149,12 +149,20 @@ def lang_id_column(
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (array<string>), the unit of
     near-dup detection. Built with sequence+transform — no explode here
-    so callers control when the row multiplication happens."""
+    so callers control when the row multiplication happens.
+
+    Texts shorter than ``n`` words yield an EMPTY array — without the
+    guard, ``F.sequence(0, negative)`` silently generates a DESCENDING
+    index range and emits garbage grams for short rows.
+    """
     toks = word_tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
+    grams = F.when(
+        F.size(toks) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
