@@ -111,6 +111,41 @@ def per_label_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     ).orderBy("label")
 
 
+def macro_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Macro-averaged P/R/F1: unweighted mean of the per-class metrics
+    — the ``average="macro"`` branch the reference's compute_prf names
+    but defers (evaluator.py:48 "requires additional logic").
+
+    One row: (n_labels, precision, recall, f1). The mean is a float
+    aggregation over ≤ |labels| per-class rows, so the last ulp can
+    vary with partitioning — fine for a reporting metric; the gated
+    correctness surfaces stay on micro/per-label (int-exact).
+    """
+    per = per_label_prf(pred, gold)
+    return per.agg(
+        F.count(F.lit(1)).cast("int").alias("n_labels"),
+        F.avg("precision").alias("precision"),
+        F.avg("recall").alias("recall"),
+        F.avg("f1").alias("f1"),
+    )
+
+
+def weighted_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Support-weighted P/R/F1: per-class metrics weighted by gold
+    support (n_gold) — scikit-style ``average="weighted"``. Classes
+    with zero gold support contribute nothing (their weight is 0),
+    matching the sklearn convention the reference's metric stack
+    follows."""
+    per = per_label_prf(pred, gold)
+    w = F.sum("n_gold")
+    return per.agg(
+        F.count(F.lit(1)).cast("int").alias("n_labels"),
+        (F.sum(F.col("precision") * F.col("n_gold")) / w).alias("precision"),
+        (F.sum(F.col("recall") * F.col("n_gold")) / w).alias("recall"),
+        (F.sum(F.col("f1") * F.col("n_gold")) / w).alias("f1"),
+    )
+
+
 def relex_micro_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """Relex exact-match micro P/R/F1 on the 5-tuple key
     (rel_label, head span, tail span) + url (evaluator.py:194-279)."""

@@ -105,3 +105,50 @@ class TestRelexPRF:
         # offsets differ but strings match → string-set F1 = 1
         row = docred_string_f1(pred, gold).collect()[0]
         assert row.f1 == pytest.approx(1.0)
+
+
+class TestMacroWeighted:
+    """macro / support-weighted averages (the compute_prf average= knob,
+    evaluator.py:34-60)."""
+
+    @pytest.fixture()
+    def frames(self, spark):
+        pred = spark.createDataFrame(
+            [("u1", 0, 1, "a"), ("u1", 2, 3, "a"), ("u2", 0, 1, "b")],
+            "url string, start int, end int, label string",
+        )
+        gold = spark.createDataFrame(
+            [("u1", 0, 1, "a"), ("u2", 0, 1, "b"), ("u2", 2, 3, "b"), ("u3", 0, 1, "b")],
+            "url string, start int, end int, label string",
+        )
+        return pred, gold
+
+    def test_macro_is_unweighted_mean(self, frames):
+        from gliner_spark.operators.evaluation import macro_prf, per_label_prf
+
+        pred, gold = frames
+        per = {r.label: r for r in per_label_prf(pred, gold).collect()}
+        m = macro_prf(pred, gold).first()
+        assert m.n_labels == 2
+        assert m.precision == pytest.approx(
+            (per["a"].precision + per["b"].precision) / 2
+        )
+        assert m.f1 == pytest.approx((per["a"].f1 + per["b"].f1) / 2)
+
+    def test_weighted_uses_gold_support(self, frames):
+        from gliner_spark.operators.evaluation import per_label_prf, weighted_prf
+
+        pred, gold = frames
+        per = {r.label: r for r in per_label_prf(pred, gold).collect()}
+        w = weighted_prf(pred, gold).first()
+        tot = per["a"].n_gold + per["b"].n_gold
+        want_r = (per["a"].recall * per["a"].n_gold + per["b"].recall * per["b"].n_gold) / tot
+        assert w.recall == pytest.approx(want_r)
+
+    def test_micro_vs_macro_diverge_on_skewed_classes(self, frames):
+        from gliner_spark.operators.evaluation import macro_prf, micro_prf
+
+        pred, gold = frames
+        micro = micro_prf(pred, gold).first()
+        macro = macro_prf(pred, gold).first()
+        assert micro.recall != pytest.approx(macro.recall)
