@@ -10,25 +10,31 @@ carries its scale design notes and reference citations):
   linking      LSH-blocked mention linking
   canonicalize connected components + triple rewriting
   kge_scores   KGE triple-plausibility refinement (TransE/DistMult/...)
-  dedup        exact / SimHash / MinHash+LSH / n-gram Jaccard / cosine
+  dedup        exact / SimHash / MinHash+LSH / n-gram Jaccard / cosine /
+               segment-level (C4-style) sub-document dedup
+  decontaminate train/test decontamination (eval-n-gram flag/drop)
   similarity   brute-force, sign-bucketed, and KMeans-IVF top-k
   multimodal   binary media columns: metadata, stubbed decode, frames
 """
 
 from .canonicalize import canonical_entities, canonicalize_triples, connected_components
+from .decontaminate import contamination_flags, decontaminate
 from .dedup import (
     embedding_cosine_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash_pairs,
     simhash_table,
 )
 from .evaluation import (
     docred_string_f1,
+    macro_prf,
     micro_prf,
     per_label_prf,
     relex_micro_prf,
+    weighted_prf,
 )
 from .extract import ENTITY_SCHEMA, TRIPLE_SCHEMA, extract_entities, extract_triples
 from .kge_scores import score_triples
@@ -41,7 +47,7 @@ from .multitask import (
     prompt_mode_relations,
     summarize_documents,
 )
-from .similarity import brute_force_topk, bucketed_topk, ivf_topk
+from .similarity import brute_force_topk, bucketed_topk, ivf_topk, train_ivf_centroids
 from .zeroshot import sample_train_mix, zero_shot_benchmark
 
 __all__ = [
@@ -54,7 +60,9 @@ __all__ = [
     "canonicalize_triples",
     "classify_documents",
     "connected_components",
+    "contamination_flags",
     "decode_media",
+    "decontaminate",
     "docred_string_f1",
     "embedding_cosine_pairs",
     "exact_duplicates",
@@ -63,6 +71,7 @@ __all__ = [
     "frame_sample",
     "ivf_topk",
     "link_mentions",
+    "macro_prf",
     "media_metadata",
     "micro_prf",
     "minhash_lsh_pairs",
@@ -73,8 +82,11 @@ __all__ = [
     "relex_micro_prf",
     "sample_train_mix",
     "score_triples",
+    "segment_dedup",
     "simhash_pairs",
     "simhash_table",
     "summarize_documents",
+    "train_ivf_centroids",
+    "weighted_prf",
     "zero_shot_benchmark",
 ]
