@@ -508,6 +508,20 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, eval_df, n=DECONTAM_N)
 
 
+def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline deliverable: one keep/drop verdict per doc with
+    sorted machine-readable reasons (quality ∧ ¬exact_dup ∧
+    ¬contaminated). Reasons joined to a string for the hash compare."""
+    from gliner_spark.operators.corpus import corpus_keep_list
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.where(F.col("doc_id") < DECONTAM_EVAL_MAX_ID)
+    out = corpus_keep_list(docs, eval_df, decontam_n=DECONTAM_N)
+    return out.select(
+        "doc_id", "keep", F.array_join("reasons", ",").alias("reasons")
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _docs(spark, sf_dir),
@@ -676,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_segments": q_dedup_segments,
         "dedup_decontaminate": q_dedup_decontaminate,
+        "corpus_keep_list": q_corpus_keep_list,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1100,6 +1115,43 @@ hits AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hits
 SELECT d2.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d2 LEFT JOIN hits h USING (doc_id)
+""",
+        "corpus_keep_list": f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+q AS (
+  SELECT doc_id,
+         (len(ws) >= 10 AND len(ws) <= 1000
+          AND CAST(len(list_filter(ws, w -> w IN ({stop_list}))) AS DOUBLE)
+              / CAST(len(ws) AS DOUBLE) < 0.5) AS qk
+  FROM d
+),
+dup AS (
+  SELECT doc_id,
+         doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(ws[i:i+{DECONTAM_N - 1}], ' ')
+            for i in range(1, len(ws) - {DECONTAM_N - 2})]
+         )) AS gram
+  FROM d
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < {DECONTAM_EVAL_MAX_ID}),
+cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)),
+flags AS (
+  SELECT q.doc_id, q.qk, dup.is_dup,
+         (cont.doc_id IS NOT NULL) AS is_cont
+  FROM q JOIN dup USING (doc_id) LEFT JOIN cont ON cont.doc_id = q.doc_id
+)
+SELECT doc_id,
+       (qk AND NOT is_dup AND NOT is_cont) AS keep,
+       coalesce(array_to_string(list_sort(
+         [x for x in [CASE WHEN NOT qk THEN 'quality' END,
+                      CASE WHEN is_dup THEN 'exact_dup' END,
+                      CASE WHEN is_cont THEN 'contaminated' END]
+          if x IS NOT NULL]), ','), '') AS reasons
+FROM flags
 """,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),

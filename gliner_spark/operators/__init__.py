@@ -13,11 +13,13 @@ carries its scale design notes and reference citations):
   dedup        exact / SimHash / MinHash+LSH / n-gram Jaccard / cosine /
                segment-level (C4-style) sub-document dedup
   decontaminate train/test decontamination (eval-n-gram flag/drop)
+  corpus       combined keep-list (quality + dedup + decontamination verdicts)
   similarity   brute-force, sign-bucketed, and KMeans-IVF top-k
   multimodal   binary media columns: metadata, stubbed decode, frames
 """
 
 from .canonicalize import canonical_entities, canonicalize_triples, connected_components
+from .corpus import corpus_keep_list
 from .decontaminate import contamination_flags, decontaminate
 from .dedup import (
     embedding_cosine_pairs,
@@ -61,6 +63,7 @@ __all__ = [
     "classify_documents",
     "connected_components",
     "contamination_flags",
+    "corpus_keep_list",
     "decode_media",
     "decontaminate",
     "docred_string_f1",
