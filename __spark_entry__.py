@@ -606,6 +606,36 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over a deterministic synthesized URL per
+    doc (documents carry no URL column, so both sides construct the
+    identical messy URL — mixed case, default port, utm params,
+    fragment — and must normalize it identically)."""
+    from gliner_spark.functions.urls import (
+        url_domain,
+        url_host,
+        url_normalize,
+        url_path,
+    )
+
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".Example.COM:443/Path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_medium=x#frag"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        url_normalize(raw).alias("norm_url"),
+        url_host(raw).alias("host"),
+        url_domain(raw).alias("domain"),
+        url_path(raw).alias("path"),
+    )
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -699,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "text_url_normalize": q_text_url_normalize,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1198,6 +1229,53 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
+""",
+        "text_url_normalize": r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+           || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+           || '&utm_medium=x#frag' AS u
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
+s2 AS (
+  SELECT doc_id,
+         CASE WHEN length(p) > 0
+              THEN lower(p) || substr(u, length(p) + 1)
+              ELSE u END AS u
+  FROM (SELECT doc_id, u,
+               regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS p
+        FROM s1) t
+),
+s3 AS (SELECT doc_id,
+              regexp_replace(regexp_replace(u,
+                '^(https://[^/?#:]*):443(/|\?|$)', '\1\2'),
+                '^(http://[^/?#:]*):80(/|\?|$)', '\1\2') AS u
+       FROM s2),
+s4 AS (
+  SELECT doc_id,
+         CASE WHEN len(kept) > 0
+              THEN base || '?' || array_to_string(kept, '&')
+              ELSE base END AS u
+  FROM (SELECT doc_id,
+               regexp_replace(u, '\?.*$', '') AS base,
+               list_filter(string_split(regexp_extract(u, '\?(.*)$', 1), '&'),
+                           p -> NOT starts_with(p, 'utm_') AND length(p) > 0) AS kept
+        FROM s3) t
+),
+s5 AS (SELECT doc_id,
+              regexp_replace(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)/$', '\1') AS u
+       FROM s4)
+SELECT r.doc_id,
+       s5.u AS norm_url,
+       lower(regexp_extract(r.u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+       regexp_replace(
+         lower(regexp_extract(r.u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)),
+         '^www\.', '') AS domain,
+       regexp_extract(r.u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+FROM raw r JOIN s5 USING (doc_id)
 """,
         "text_token_count": r"""
 SELECT doc_id,

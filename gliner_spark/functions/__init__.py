@@ -27,3 +27,10 @@ from .vectors import (  # noqa: F401
     cosine_similarity,
     sign_bucket,
 )
+from .urls import (  # noqa: F401
+    url_domain,
+    url_host,
+    url_normalize,
+    url_path,
+    url_strip_fragment,
+)

@@ -1,0 +1,80 @@
+"""URL canonicalization column functions.
+
+Web-corpus pipelines dedup and partition by URL before any content
+pass (re-crawls of one page differ in tracking params, port spelling,
+fragments and case — URL-level dedup is the cheapest filter in the
+ladder, and domain is the skew/blocklist key the north rule's salted
+repartition uses). All pure built-in expressions (regexp + string ops,
+JVM-side, codegen'd); the regexes avoid lookarounds so a DuckDB/RE2
+oracle computes the identical function.
+
+Normalization rules (each independently testable, applied in order):
+  1. strip the fragment (``#…``);
+  2. lowercase the scheme and host (path/query case is significant);
+  3. drop default ports (``:80`` on http, ``:443`` on https);
+  4. drop ``utm_*`` tracking params, tidying separators — a query
+     that becomes empty loses its ``?``;
+  5. strip a trailing ``/`` from a bare-host URL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def url_strip_fragment(url: Column) -> Column:
+    return F.regexp_replace(url, "#.*$", "")
+
+
+def _scheme_host(url: Column) -> Column:
+    """``scheme://host[:port]`` prefix (empty when scheme-less)."""
+    return F.regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL (rules above). Deterministic, total — inputs that
+    don't parse as URLs pass through with only the global rules (case
+    untouched when no scheme is found)."""
+    u = url_strip_fragment(url)
+    prefix = _scheme_host(u)
+    lowered = F.concat(
+        F.lower(prefix), F.substring(u, F.length(prefix) + F.lit(1), F.lit(1 << 20))
+    )
+    u = F.when(F.length(prefix) > 0, lowered).otherwise(u)
+    # default ports (host part is already lowercase here)
+    u = F.regexp_replace(u, "^(https://[^/?#:]*):443(/|\\?|$)", "$1$2")
+    u = F.regexp_replace(u, "^(http://[^/?#:]*):80(/|\\?|$)", "$1$2")
+    # rebuild the query without utm_* params (regex-splicing the query
+    # string corrupts mid-string separators; filtering the param list
+    # cannot)
+    q = F.regexp_extract(u, "\\?(.*)$", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: ~p.startswith("utm_") & (F.length(p) > 0),
+    )
+    base = F.regexp_replace(u, "\\?.*$", "")
+    u = F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+    # bare-host trailing slash
+    u = F.regexp_replace(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)/$", "$1")
+    return u
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (port stripped)."""
+    return F.lower(
+        F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1)
+    )
+
+
+def url_domain(url: Column) -> Column:
+    """Host minus a leading ``www.`` — the grouping/blocklist key (a
+    registrable-domain cut without shipping the public-suffix list;
+    swap in a broadcast PSL join when exactness matters)."""
+    return F.regexp_replace(url_host(url), "^www\\.", "")
+
+
+def url_path(url: Column) -> Column:
+    """Path component ('' when absent); query/fragment excluded."""
+    return F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)

@@ -1,0 +1,68 @@
+"""URL canonicalization functions (web-pipeline dedup/partition keys)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gliner_spark.functions.urls import (
+    url_domain,
+    url_host,
+    url_normalize,
+    url_path,
+)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    return [r.n for r in df.select(url_normalize(F.col("u")).alias("n")).collect()]
+
+
+class TestUrlNormalize:
+    def test_case_ports_fragment_tracking(self, spark):
+        got = _norm(spark, [
+            "HTTPS://WWW.Example.COM:443/Path/X?utm_source=a&id=7#frag",
+            "http://Host.example:80/",
+            "https://site.example/a?utm_a=1&utm_b=2",
+            "https://site.example/a?id=1&utm_x=2&b=3",
+            "https://site.example/",
+        ])
+        assert got == [
+            "https://www.example.com/Path/X?id=7",
+            "http://host.example",
+            "https://site.example/a",
+            "https://site.example/a?id=1&b=3",
+            "https://site.example",
+        ]
+
+    def test_path_case_preserved_and_nondefault_port_kept(self, spark):
+        got = _norm(spark, [
+            "https://Site.example:8443/CaseSensitive/Path",
+            "no scheme at all",
+        ])
+        assert got[0] == "https://site.example:8443/CaseSensitive/Path"
+        assert got[1] == "no scheme at all"  # total: passes through
+
+    def test_mid_query_utm_keeps_separators(self, spark):
+        got = _norm(spark, ["https://s.example/p?a=1&utm_m=x&b=2&utm_n=y&c=3"])
+        assert got == ["https://s.example/p?a=1&b=2&c=3"]
+
+    def test_idempotent(self, spark):
+        urls = ["HTTPS://A.B:443/p?utm_x=1&q=2#f", "http://x.y:80/?utm_a=b"]
+        once = _norm(spark, urls)
+        twice = _norm(spark, once)
+        assert once == twice
+
+
+class TestUrlParts:
+    def test_host_domain_path(self, spark):
+        df = spark.createDataFrame(
+            [("HTTPS://WWW.News.Example.COM:8080/a/b?q=1#x",)], "u string"
+        )
+        row = df.select(
+            url_host(F.col("u")).alias("h"),
+            url_domain(F.col("u")).alias("d"),
+            url_path(F.col("u")).alias("p"),
+        ).first()
+        assert row.h == "www.news.example.com"
+        assert row.d == "news.example.com"
+        assert row.p == "/a/b"
