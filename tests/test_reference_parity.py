@@ -664,3 +664,112 @@ class TestSpanEnumerationParity:
                     num_tokens,
                     max_width,
                 )
+
+
+class TestTokenSplitterParity:
+    """Execute the reference's OWN per-language splitter classes and
+    MultiLangWordsSplitter (tokenizer.py:102-404) against our dispatch
+    over the SAME fake segmenter packages — token streams and char
+    offsets must match exactly."""
+
+    @pytest.fixture()
+    def lang_fakes(self, monkeypatch, ref):
+        import gliner_spark.kernel.tokenization as tk
+
+        def tree(dotted, leaf):
+            parts = dotted.split(".")
+            for i in range(1, len(parts) + 1):
+                name = ".".join(parts[:i])
+                mod = sys.modules.get(name)
+                if not isinstance(mod, types.ModuleType) or i == len(parts):
+                    mod = types.ModuleType(name)
+                    monkeypatch.setitem(sys.modules, name, mod)
+                if i == len(parts):
+                    for k, v in leaf.items():
+                        setattr(mod, k, v)
+                if i > 1:
+                    setattr(sys.modules[".".join(parts[: i - 1])], parts[i - 1], mod)
+
+        class _Jieba3:
+            def cut_text(self, text):
+                return [s for s in text.split("|") if s]
+
+        tree("jieba3", {"jieba3": _Jieba3})
+
+        class _MeCab:
+            def morphs(self, text):
+                return [s for s in text.split("|") if s]
+
+        tree("mecab", {"MeCab": _MeCab})
+
+        class _Janome:
+            def __init__(self, *a, **k):
+                pass
+
+            def tokenize(self, text, wakati=True):
+                return [s for s in text.split("|") if s]
+
+        tree("janome.tokenizer", {"Tokenizer": _Janome})
+        tree(
+            "camel_tools.tokenizers.word",
+            {"simple_word_tokenize": lambda text: [s for s in text.split("|") if s]},
+        )
+
+        class _IT:
+            @staticmethod
+            def trivial_tokenize(text, lang="hi"):
+                return [s for s in text.split("|") if s]
+
+        tree("indicnlp.tokenize", {"indic_tokenize": _IT})
+
+        class _Factory:
+            seed = None
+
+        def detect(text):
+            if any(0x4E00 <= ord(c) <= 0x9FFF for c in text):
+                return "zh"
+            return "en"
+
+        tree("langdetect", {"DetectorFactory": _Factory, "detect": detect})
+
+        class _LDE(Exception):
+            pass
+
+        tree("langdetect.lang_detect_exception", {"LangDetectException": _LDE})
+
+        monkeypatch.setattr(ref.tokenizer, "is_module_available", lambda _n: True)
+        monkeypatch.setattr(tk, "_BACKEND_CACHE", {})
+        yield tk
+
+    CASES = [
+        ("zh", "JiebaTokenSplitter", "云计算|平台|运行良好"),
+        ("ko", "MecabKoTokenSplitter", "안녕|하세요|세계"),
+        ("ja", "JanomeJaTokenSplitter", "これ|は|テスト"),
+        ("ar", "CamelArabicSplitter", "كلمة|أخرى|هنا"),
+        ("hi", "HindiSplitter", "नमस्ते|दुनिया|आज"),
+    ]
+
+    def test_per_language_splitters_match(self, ref, lang_fakes):
+        tk = lang_fakes
+        for lang, cls_name, text in self.CASES:
+            ref_out = list(getattr(ref.tokenizer, cls_name)()(text))
+            ours = list(tk.splitter_for_lang(lang)(text))
+            assert ours == ref_out, (lang, ours, ref_out)
+
+    def test_multilang_dispatch_matches_universal(self, ref, lang_fakes):
+        tk = lang_fakes
+        ml = ref.tokenizer.MultiLangWordsSplitter(use_spacy=False)
+        for text in ("云计算|平台|运行良好", "plain english words here"):
+            ref_out = list(ml(text))
+            ours = list(tk._universal_splitter(text))
+            assert ours == ref_out, (text, ours, ref_out)
+
+    def test_whitespace_splitter_regex_identical(self, ref):
+        import gliner_spark.kernel.tokenization as tk
+
+        ws = ref.tokenizer.WhitespaceTokenSplitter()
+        for text in (
+            "hyphen-word under_score u.s. 3.14 (parens)!",
+            "tabs\tand  double  spaces",
+        ):
+            assert list(ws(text)) == list(tk._regex_splitter(text))
