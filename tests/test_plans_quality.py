@@ -129,6 +129,20 @@ class TestRound2PlanShapes:
         assert "Window" not in plan
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
+    def test_round3_operators_plan_shapes(self, spark):
+        """The late round-3 operators must keep scale-safe shapes:
+        no cartesian products anywhere; URL canonicalization is pure
+        narrow expressions (ZERO exchanges); the keep-list's only
+        windows are the md5-keyed exact-dup ones (uniform key)."""
+        import __spark_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        for name in ("dedup_segments", "dedup_decontaminate", "corpus_keep_list"):
+            plan = formatted_plan(E.queries()[name](spark, sf))
+            assert "CartesianProduct" not in plan, name
+        url_plan = formatted_plan(E.queries()["text_url_normalize"](spark, sf))
+        assert "Exchange" not in url_plan and "CartesianProduct" not in url_plan
+
     def test_star_cc_no_cartesian(self, spark):
         from gliner_spark.operators.canonicalize import connected_components
 
