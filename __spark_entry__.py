@@ -1251,8 +1251,8 @@ s2 AS (
 ),
 s3 AS (SELECT doc_id,
               regexp_replace(regexp_replace(u,
-                '^(https://[^/?#:]*):443(/|\?|$)', '\1\2'),
-                '^(http://[^/?#:]*):80(/|\?|$)', '\1\2') AS u
+                '^(https://(?:[^/@?#]*@)?[^/?#:]*):443(/|\?|$)', '\1\2'),
+                '^(http://(?:[^/@?#]*@)?[^/?#:]*):80(/|\?|$)', '\1\2') AS u
        FROM s2),
 s4 AS (
   SELECT doc_id,
@@ -1270,9 +1270,9 @@ s5 AS (SELECT doc_id,
        FROM s4)
 SELECT r.doc_id,
        s5.u AS norm_url,
-       lower(regexp_extract(r.u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+       lower(regexp_extract(r.u, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#:]*)', 1)) AS host,
        regexp_replace(
-         lower(regexp_extract(r.u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)),
+         lower(regexp_extract(r.u, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#:]*)', 1)),
          '^www\.', '') AS domain,
        regexp_extract(r.u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
 FROM raw r JOIN s5 USING (doc_id)

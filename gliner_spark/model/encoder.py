@@ -464,6 +464,14 @@ class DeterministicEncoder:
         # re-hashing the label_key string on every lookup.
         cache = self._score_cache.get(label_key)
         if cache is None:
+            # bound the NUMBER of label-set sub-caches too: each
+            # distinct label set (incl. per-digest keys salted in by
+            # predict_with_embeds) adds a sub-cache of up to 2M rows
+            # on a long-lived executor singleton — without a top-level
+            # cap the global memory bound doesn't hold. FIFO-evict the
+            # oldest label keys (dict preserves insertion order).
+            while len(self._score_cache) >= 32:
+                self._score_cache.pop(next(iter(self._score_cache)))
             cache = self._score_cache.setdefault(label_key, {})
         # Evict BEFORE computing `missing` (same hazard as
         # span_representations_tokens: a post-hoc clear would evict this

@@ -358,10 +358,12 @@ def segment_dedup(
 
     Scale shape: segment explode → map-side-combined groupBy(seg) min
     → equi-join back → groupBy(doc) reassembly. The first-occurrence
-    key packs (doc_id, pos) into one int64 (doc_id·2²⁰ + pos — safe
-    while doc_id < 2⁴³ and docs stay under 2²⁰ segments, i.e. far past
-    the 10¹²-doc design point; the same expression runs in the SQL
-    oracle). A boilerplate segment's occurrences do meet in the
+    key is ``min(struct(doc_id, pos))`` — struct min orders
+    lexicographically by field, so it works for BOTH numeric ids
+    (identical order to the packed-int64 key the SQL oracle uses) and
+    string ids like ``url`` (lexicographic; a cast-to-long key would
+    fail under ANSI mode or silently null out and drop every
+    segment). A boilerplate segment's occurrences do meet in the
     groupBy/join on ``seg``, but the aggregate is a partial min (no
     row colocation before combine) and the join's build side is one
     row per distinct segment, so AQE's skew split handles hot keys.
@@ -375,9 +377,13 @@ def segment_dedup(
     base = df.select(F.col(id_col).alias("_id"), seg_expr.alias("_segs"))
     segs = base.select(
         "_id", F.posexplode(F.col("_segs")).alias("pos", "seg")
-    ).withColumn("k", F.col("_id").cast("long") * F.lit(1 << 20) + F.col("pos"))
-    firsts = segs.groupBy("seg").agg(F.min("k").alias("fk"))
-    kept = segs.join(firsts, "seg").where(F.col("k") == F.col("fk"))
+    )
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.struct("_id", "pos")).alias("fk")
+    )
+    kept = segs.join(firsts, "seg").where(
+        (F.col("_id") == F.col("fk._id")) & (F.col("pos") == F.col("fk.pos"))
+    )
     agg = kept.groupBy("_id").agg(
         F.array_join(
             F.transform(

@@ -96,17 +96,21 @@ def write_graph_table(
     # from a read-back of the committed files, so the audit row records
     # what is actually on disk, not what the plan intended.
     committed = spark.read.schema(out.schema).parquet(path)
-    if extra_partition_cols:
-        # count only the partitions this run owns (values present in
-        # the input), not sibling chunks from earlier runs. The owned
-        # set is tiny (≤ partitions written this run) — collect it and
-        # pre-filter with per-column isin so the read-back SCAN prunes
-        # to the owned directories (a bare semi-join would read every
-        # partition first); the semi-join then refines to exact combos.
-        own_rows = out.select(*part_cols).distinct().collect()
-        for i, c in enumerate(part_cols):
-            vals = list({r[i] for r in own_rows})
-            committed = committed.where(F.col(c).isin(vals))
+    # count ONLY the partitions this run owns (values present in the
+    # input), not sibling partitions left behind by earlier runs that
+    # wrote a different predicate set to the same path — attributing
+    # their counts to this run_id would corrupt the audit trail. The
+    # owned set is tiny (≤ partitions written this run) — collect it
+    # and pre-filter with per-column isin so the read-back SCAN prunes
+    # to the owned directories (a bare semi-join would read every
+    # partition first); the semi-join then refines to exact combos.
+    # Applied unconditionally: the default pred-only case needs the
+    # isolation just as much as the multi-column case.
+    own_rows = out.select(*part_cols).distinct().collect()
+    for i, c in enumerate(part_cols):
+        vals = list({r[i] for r in own_rows})
+        committed = committed.where(F.col(c).isin(vals))
+    if len(part_cols) > 1:
         own = spark.createDataFrame(own_rows, out.select(*part_cols).schema)
         committed = committed.join(F.broadcast(own), list(part_cols), "left_semi")
     wall_ms = int((time.time() - t0) * 1000)

@@ -126,8 +126,13 @@ def incremental_minhash_dedup(
         .select("_id")
         .distinct()
     )
+    # Survivors start from the BATCH id set, not the band rows: a doc
+    # shorter than n words yields zero shingles, hence zero band rows —
+    # it can never collide, so it must always survive. (Deriving from
+    # my_bands silently dropped every short/empty doc.)
+    batch_ids = batch_df.select(F.col(id_col).alias("_id")).distinct()
     keep_ids = (
-        my_bands.select("_id").distinct()
+        batch_ids
         .join(hist_dirty, "_id", "left_anti")
         .join(intra_dirty, "_id", "left_anti")
     )

@@ -266,6 +266,24 @@ class TestSegmentDedup:
         out = {r.doc_id: r for r in segment_dedup(df, k=2).collect()}
         assert out[2].clean_text == "first bit last bit"  # middle seg gone, order kept
 
+    def test_string_ids(self, spark):
+        """String ids (e.g. 'url', the canonical page key) must work:
+        the r3 first-occurrence key cast ids to long, which raises
+        under ANSI mode (CAST_INVALID_INPUT) or silently nulls out and
+        drops EVERY segment under non-ANSI configs."""
+        from gliner_spark.operators.dedup import segment_dedup
+
+        df = spark.createDataFrame(
+            [
+                ("http://a.example/1", "a b c x y z"),
+                ("http://b.example/2", "a b c q r s"),
+            ],
+            "url string, text string",
+        )
+        out = {r.url: r for r in segment_dedup(df, k=3, id_col="url").collect()}
+        assert out["http://a.example/1"].clean_text == "a b c x y z"
+        assert out["http://b.example/2"].clean_text == "q r s"
+
     def test_every_doc_gets_a_row(self, spark):
         from gliner_spark.operators.dedup import segment_dedup
 

@@ -69,6 +69,26 @@ class TestGraphSink:
         assert df.count() > 0
         assert df.select("pred").distinct().collect()[0][0] == some_pred
 
+    def test_lineage_counts_only_owned_preds(self, spark, triples, tmp_path):
+        """Default pred-only case: a run writing a SUBSET of predicates
+        to a path that already holds other predicates must not
+        attribute the sibling partitions' rows to its own run_id (r3
+        only applied the owned-partition filter when
+        extra_partition_cols was non-empty)."""
+        path = str(tmp_path / "graph")
+        # guarantee ≥2 predicates regardless of the fixture's natural
+        # distribution: union a relabeled copy
+        both = triples.union(triples.withColumn("pred", F.lit("synth_pred")))
+        write_graph_table(both, path, run_id="r-all")
+        one = triples.where(F.col("pred") != "synth_pred")
+        pred0 = one.select("pred").first()[0]
+        one = one.where(F.col("pred") == pred0)
+        lineage = write_graph_table(one, path, run_id="r-one")
+        rows = {r.pred: r.n_rows for r in lineage.collect()}
+        # lineage covers ONLY the predicate this run wrote, with its count
+        assert set(rows) == {pred0}
+        assert rows[pred0] == one.dropDuplicates().count()
+
     def test_chunked_replay_replaces_only_own_partitions(
         self, spark, triples, tmp_path
     ):

@@ -70,6 +70,23 @@ class TestIncrementalNearDup:
         # the dropped near-dup contributed nothing to the state
         assert {r.owner for r in st.select("owner").distinct().collect()} == {"u1"}
 
+    def test_short_docs_survive(self, spark, tmp_path):
+        """Docs shorter than the shingle width yield zero band rows —
+        they can never collide, so they must ALWAYS survive (the r3 bug
+        silently dropped every short/empty doc as if it were a dup)."""
+        state = str(tmp_path / "state")
+        b = _batch(
+            spark,
+            [("u1", "only two"), ("u2", "one two three four"), ("u3", BASE), ("u4", "")],
+        )
+        kept = incremental_minhash_dedup(b, state, epoch=0, n=3)
+        assert sorted(r.url for r in kept.collect()) == ["u1", "u2", "u3", "u4"]
+        # and they keep surviving across epochs (no stale state effect)
+        b1 = _batch(spark, [("u5", "only two"), ("u6", BASE)])
+        kept1 = incremental_minhash_dedup(b1, state, epoch=1, n=3)
+        got = sorted(r.url for r in kept1.collect())
+        assert "u5" in got and "u6" not in got  # u6 near-dups epoch-0's u3
+
     def test_agrees_with_batch_lsh_candidates(self, spark, tmp_path):
         """The streaming drop set must equal the batch operator's LSH
         candidate pairs when everything arrives in one epoch order."""
