@@ -289,6 +289,53 @@ def q_kg_triples_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_doc_id(t).select("doc_id", "subj_text", "pred", "obj_text", "score")
 
 
+def q_kg_triples_tokenmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mode JOINT relex (UniEncoderTokenRelexGLiNER,
+    gliner/model.py:2902): BIO token scoring proposes candidate spans
+    (extract_spans_from_tokens), the relex tail runs over the candidate
+    list, and TokenRelexDecoder validates rel_idx against the
+    post-greedy span list (decoder.py:1305-1310) — rows-only check
+    (kernel oracle in tests/test_kernel_oracle.py).
+
+    Thresholds: the hash-seeded analog's relation scores sit lower than
+    a trained model's (three multiplied sparse stages), so the gate
+    relaxes adjacency/relation thresholds to emit a non-vacuous row
+    set — a weight choice, not a semantics change."""
+    t = extract_triples(
+        _pages(spark, sf_dir),
+        labels=ENT_LABELS,
+        relations=RELATIONS,
+        threshold=0.4,
+        adjacency_threshold=0.35,
+        relation_threshold=0.2,
+        lang_col=None,
+        mode="token",
+    )
+    return _as_doc_id(t).select(
+        "doc_id", "subj_start", "subj_end", "subj_text", "pred",
+        "obj_start", "obj_end", "obj_text", "score",
+    )
+
+
+def q_kg_triples_tokenmode_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-relex ONNX graph contract: TOKEN inputs (no span grid),
+    RELEX outputs ((3,B,W,C) logits + rel_idx/rel_logits/rel_mask,
+    model.py:2916-2952) with candidate proposal + adjacency + pair
+    scoring in-graph — rows-only check."""
+    from gliner_spark.model.ort_testing import fake_token_relex_encoder_factory
+
+    t = extract_triples(
+        _pages(spark, sf_dir),
+        labels=ENT_LABELS,
+        relations=RELATIONS,
+        threshold=0.5,
+        lang_col=None,
+        mode="token",
+        encoder_factory=fake_token_relex_encoder_factory,
+    )
+    return _as_doc_id(t).select("doc_id", "subj_text", "pred", "obj_text", "score")
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = extract_triples(
         _pages(spark, sf_dir),
@@ -704,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_onnx": q_kg_entities_onnx,
         "kg_entities_tokenmode_onnx": q_kg_entities_tokenmode_onnx,
         "kg_triples_onnx": q_kg_triples_onnx,
+        "kg_triples_tokenmode": q_kg_triples_tokenmode,
+        "kg_triples_tokenmode_onnx": q_kg_triples_tokenmode_onnx,
         "kg_triples": q_kg_triples,
         "kg_triples_zeroshot": q_kg_triples_zeroshot,
         "kg_linking_exact": q_kg_linking_exact,

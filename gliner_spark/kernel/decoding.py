@@ -249,6 +249,49 @@ def decode_token_scores(
     return greedy_search(spans, flat_ner, multi_label=multi_label)
 
 
+def extract_spans_from_token_probs(
+    start_probs: np.ndarray,
+    end_probs: np.ndarray,
+    inside_probs: np.ndarray,
+    threshold: float = 0.5,
+) -> np.ndarray:
+    """Candidate (start, end) spans from BIO-flag probabilities — the
+    model-side span PROPOSAL stage of the token-relex family
+    (extract_spans_from_tokens, modeling/utils.py:299-379, at B=1 with
+    labels=None; inputs here are probabilities, the reference sigmoids
+    logits first).
+
+    Returns (N, 2) int64 in the reference's exact order: start flags
+    enumerate in (position, class) row-major order; for each start, the
+    matching end flags (same class, end >= start) in their own
+    row-major order; a candidate survives only when EVERY inside
+    position in [start, end] is flagged for that class (the cumsum
+    check, utils.py:355-357). Identical (start, end) proposed by
+    different classes stays duplicated — ``rel_idx`` indexes THIS list
+    (represent_spans override, base.py:2497-2514), so order and
+    multiplicity are part of the contract.
+    """
+    start_mask = start_probs > threshold
+    end_mask = end_probs > threshold
+    inside_mask = inside_probs > threshold
+    starts = np.argwhere(start_mask)  # row-major (pos, cls)
+    ends = np.argwhere(end_mask)
+    if len(starts) == 0 or len(ends) == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    s_pos, s_cls = starts[:, 0], starts[:, 1]
+    e_pos, e_cls = ends[:, 0], ends[:, 1]
+    valid = (s_cls[:, None] == e_cls[None, :]) & (s_pos[:, None] <= e_pos[None, :])
+    si, ei = np.nonzero(valid)  # si-major ≡ torch nonzero enumeration
+    if len(si) == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    cs, ce, cc = s_pos[si], e_pos[ei], s_cls[si]
+    W, C = inside_mask.shape
+    csum = np.zeros((W + 1, C), dtype=np.int64)
+    np.cumsum(inside_mask, axis=0, out=csum[1:])
+    ok = (csum[ce + 1, cc] - csum[cs, cc]) == (ce - cs + 1)
+    return np.stack([cs[ok], ce[ok]], axis=1).astype(np.int64)
+
+
 def decode_relations(
     spans: List[Span],
     rel_idx: Optional[np.ndarray],

@@ -284,3 +284,55 @@ class OnnxRelexEncoder(OnnxSpanEncoder):
                 (sigmoid(logits), rel_idx[b][keep], sigmoid(rel_logits[b][keep]))
             )
         return result
+
+
+class OnnxTokenRelexEncoder(OnnxTokenEncoder):
+    """Token-mode joint relex graph (UniEncoderTokenRelexGLiNER ONNX
+    export, gliner/model.py:2916-2984): the declared inputs are the
+    token-graph four — input_ids / attention_mask / words_mask /
+    text_lengths, NO span grid — and the outputs are the relex four —
+    logits (3, B, W, C) position-first, rel_idx, rel_logits, rel_mask.
+    Candidate-span proposal (extract_spans_from_tokens), adjacency and
+    pair scoring all run IN-GRAPH at the export-default thresholds;
+    this adapter only re-lays the outputs per document for the decode
+    kernels."""
+
+    supports_relations = True
+
+    def token_relex_outputs(
+        self,
+        batch_tokens: Sequence[Sequence[str]],
+        labels: Sequence[str],
+        relations: Sequence[str],
+    ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Per-doc (token_probs (W, C, 3), rel_idx (N, 2),
+        rel_probs (N, C_rel)) with padding rows removed via rel_mask —
+        the exact inputs of decode_token_scores + decode_relations."""
+        feed, meta = build_span_feed(
+            batch_tokens, labels, self.tokenizer, self.max_width,
+            relations=relations, include_span_grid=False,
+        )
+        outputs = self._run(feed)
+        logits = np.asarray(outputs[0])  # (3, B, W, C)
+        if logits.ndim != 4 or logits.shape[0] != 3:
+            raise ValueError(
+                f"token-relex graph must emit (3, B, W, C) logits, got "
+                f"{logits.shape}"
+            )
+        if len(outputs) < 4:
+            raise ValueError(
+                "session returned a token-only output set; "
+                f"OnnxTokenRelexEncoder needs {RELEX_OUTPUT_NAMES}"
+            )
+        rel_idx = np.asarray(outputs[1])  # (B, N, 2)
+        rel_logits = np.asarray(outputs[2])  # (B, N, C_rel)
+        rel_mask = np.asarray(outputs[3]).astype(bool)  # (B, N)
+        result = []
+        for b in range(len(batch_tokens)):
+            w = meta.word_counts[b]
+            probs = sigmoid(np.transpose(logits[:, b, :w, :], (1, 2, 0)))
+            keep = rel_mask[b]
+            result.append(
+                (probs, rel_idx[b][keep], sigmoid(rel_logits[b][keep]))
+            )
+        return result

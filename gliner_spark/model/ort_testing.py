@@ -70,6 +70,13 @@ def fake_relex_encoder_factory():
     return OnnxRelexEncoder(session=FakeRelexSession(margin=0.12))
 
 
+def fake_token_relex_encoder_factory():
+    from .onnx_backend import OnnxTokenRelexEncoder
+
+    # same margin rationale as the span relex fake
+    return OnnxTokenRelexEncoder(session=FakeTokenRelexSession(margin=0.12))
+
+
 class FakeSpanSession:
     """Drop-in for ``onnxruntime.InferenceSession`` (span spec)."""
 
@@ -209,8 +216,7 @@ class FakeTokenSession(FakeSpanSession):
             ]
         )
 
-    def run(self, output_names, feed: Dict[str, np.ndarray]):
-        state = self._encode(feed)
+    def _token_logits(self, state) -> np.ndarray:
         B, W, C = state["B"], state["W"], state["C"]
         words, prompts = state["words"], state["prompts"]
         logits = np.zeros((3, B, W, C))
@@ -219,7 +225,10 @@ class FakeTokenSession(FakeSpanSession):
                 proj = np.tanh(_mm(words[b], self.w_chan[ch]))
                 proj /= np.linalg.norm(proj, axis=1, keepdims=True) + 1e-9
                 logits[ch, b] = (_mm(proj, prompts[b].T) - self.margin) / self.temperature
-        return [logits]
+        return logits
+
+    def run(self, output_names, feed: Dict[str, np.ndarray]):
+        return [self._token_logits(self._encode(feed))]
 
 
 class FakeRelexSession(FakeSpanSession):
@@ -243,13 +252,11 @@ class FakeRelexSession(FakeSpanSession):
         # grid exactly as the real model does
         self.top_k = top_k
 
-    def run(self, output_names, feed: Dict[str, np.ndarray]):
-        state = self._encode(feed)
-        logits = self._span_logits(state)
-        B, W = state["B"], state["W"]
+    def _rel_prompt_feats(self, state) -> List[np.ndarray]:
+        """<<REL>> prompt features per row (M2 for the relation block)."""
+        B = state["B"]
         input_ids = state["input_ids"]
         emb = state["emb"]
-        # <<REL>> prompt features per row (M2 for the relation block).
         rel_prompts: List[np.ndarray] = []
         for b in range(B):
             pos = np.nonzero(input_ids[b] == self.rel_token_id)[0]
@@ -259,6 +266,48 @@ class FakeRelexSession(FakeSpanSession):
                 v = emb[b, p] + nxt
                 feats.append(v / (np.linalg.norm(v) + 1e-9))
             rel_prompts.append(np.stack(feats) if feats else np.zeros((0, self.dim)))
+        return rel_prompts
+
+    @staticmethod
+    def _pad_rel_outputs(per_doc_pairs, per_doc_logits, B, C_rel):
+        """Pad per-doc pair lists to the batch (rel_idx/rel_logits/rel_mask)."""
+        N = max((len(p) for p in per_doc_pairs), default=0)
+        rel_idx = np.zeros((B, max(N, 1), 2), dtype=np.int64)
+        rel_logits = np.full((B, max(N, 1), C_rel), -1e9)
+        rel_mask = np.zeros((B, max(N, 1)), dtype=np.int64)
+        for b in range(B):
+            n = len(per_doc_pairs[b])
+            if n:
+                rel_idx[b, :n] = per_doc_pairs[b]
+                rel_logits[b, :n] = per_doc_logits[b]
+                rel_mask[b, :n] = 1
+        return rel_idx, rel_logits, rel_mask
+
+    def _relex_tail(self, reps: np.ndarray, rel_prompt: np.ndarray, thr_logit: float):
+        """Adjacency + directed pairs + pair×relation for ONE doc's
+        packed/candidate reps (base.py:2216-2256 at B=1). Returns
+        (pairs (n, 2) int64, rel_logits (n, C_rel))."""
+        E = len(reps)
+        C_rel = rel_prompt.shape[0]
+        if E < 2 or C_rel == 0:
+            return np.zeros((0, 2), dtype=np.int64), np.zeros((0, C_rel))
+        adj = (_mm(_mm(reps, self.w_adj), reps.T) - self.margin) / self.temperature
+        rows, cols = np.nonzero(~np.eye(E, dtype=bool))  # row-major (i, j)
+        sel = adj[rows, cols] > thr_logit  # adjacency_threshold = threshold
+        pairs = np.stack([rows[sel], cols[sel]], axis=1).astype(np.int64)
+        if len(pairs) == 0:
+            return np.zeros((0, 2), dtype=np.int64), np.zeros((0, C_rel))
+        head, tail = reps[pairs[:, 0]], reps[pairs[:, 1]]
+        pair_rep = np.tanh(_mm(np.concatenate([head, tail], axis=1), self.w_pair))
+        pair_rep /= np.linalg.norm(pair_rep, axis=1, keepdims=True) + 1e-9
+        rl = (_mm(pair_rep, rel_prompt.T) - self.margin) / self.temperature
+        return pairs, rl
+
+    def run(self, output_names, feed: Dict[str, np.ndarray]):
+        state = self._encode(feed)
+        logits = self._span_logits(state)
+        B, W = state["B"], state["W"]
+        rel_prompts = self._rel_prompt_feats(state)
         C_rel = rel_prompts[0].shape[0] if B else 0
 
         per_doc_pairs: List[np.ndarray] = []
@@ -280,33 +329,68 @@ class FakeRelexSession(FakeSpanSession):
                 best = np.argsort(-maxp[packed], kind="stable")[: self.top_k]
                 packed = np.sort(packed[best])
             reps = state["reps"][b][packed]
-            E = len(packed)
-            if E < 2 or C_rel == 0:
-                per_doc_pairs.append(np.zeros((0, 2), dtype=np.int64))
-                per_doc_logits.append(np.zeros((0, C_rel)))
-                continue
-            adj = (_mm(_mm(reps, self.w_adj), reps.T) - self.margin) / self.temperature
-            rows, cols = np.nonzero(~np.eye(E, dtype=bool))  # row-major (i, j)
-            sel = adj[rows, cols] > thr_logit  # adjacency_threshold = threshold
-            pairs = np.stack([rows[sel], cols[sel]], axis=1).astype(np.int64)
-            if len(pairs) == 0:
-                per_doc_pairs.append(np.zeros((0, 2), dtype=np.int64))
-                per_doc_logits.append(np.zeros((0, C_rel)))
-                continue
-            head, tail = reps[pairs[:, 0]], reps[pairs[:, 1]]
-            pair_rep = np.tanh(_mm(np.concatenate([head, tail], axis=1), self.w_pair))
-            pair_rep /= np.linalg.norm(pair_rep, axis=1, keepdims=True) + 1e-9
-            rl = (_mm(pair_rep, rel_prompts[b].T) - self.margin) / self.temperature
+            pairs, rl = self._relex_tail(reps, rel_prompts[b], thr_logit)
             per_doc_pairs.append(pairs)
             per_doc_logits.append(rl)
-        N = max((len(p) for p in per_doc_pairs), default=0)
-        rel_idx = np.zeros((B, max(N, 1), 2), dtype=np.int64)
-        rel_logits = np.full((B, max(N, 1), C_rel), -1e9)
-        rel_mask = np.zeros((B, max(N, 1)), dtype=np.int64)
+        rel_idx, rel_logits, rel_mask = self._pad_rel_outputs(
+            per_doc_pairs, per_doc_logits, B, C_rel
+        )
+        return [logits, rel_idx, rel_logits, rel_mask]
+
+
+class FakeTokenRelexSession(FakeTokenSession, FakeRelexSession):
+    """Token-relex graph fake (UniEncoderTokenRelexGLiNER export,
+    gliner/model.py:2916-2984): TOKEN inputs — input_ids /
+    attention_mask / words_mask / text_lengths, NO span grid — and
+    RELEX outputs — (3, B, W, C) position-first logits + rel_idx /
+    rel_logits / rel_mask.
+
+    The in-graph tail mirrors the token-relex forward: candidate spans
+    come from the BIO start/end/inside flags at the export-default
+    threshold (extract_spans_from_tokens, modeling/utils.py:299-379 via
+    the represent_spans override, base.py:2497-2514), reps are built
+    from the word embeddings for exactly those candidates, then the
+    SAME adjacency → directed-pairs → pair×relation tail as the span
+    relex fake (base.py:2216-2256). ``top_k`` caps the candidate list
+    (a fake-weight safety bound on the E² pair grid; the reference
+    token forward itself is uncapped)."""
+
+    input_names: Sequence[str] = TOKEN_INPUT_NAMES
+    output_names: Sequence[str] = RELEX_OUTPUT_NAMES
+
+    def run(self, output_names, feed: Dict[str, np.ndarray]):
+        from ..kernel.decoding import extract_spans_from_token_probs
+
+        state = self._encode(feed)
+        logits = self._token_logits(state)  # (3, B, W, C)
+        B = state["B"]
+        rel_prompts = self._rel_prompt_feats(state)
+        C_rel = rel_prompts[0].shape[0] if B else 0
+        # sigmoid(x) > t ⇔ x > log(t / (1 - t)) — run the proposal on
+        # raw logits with the logit-space threshold (same decision set)
+        thr_logit = float(np.log(self.threshold / (1.0 - self.threshold)))
+        per_doc_pairs: List[np.ndarray] = []
+        per_doc_logits: List[np.ndarray] = []
         for b in range(B):
-            n = len(per_doc_pairs[b])
-            if n:
-                rel_idx[b, :n] = per_doc_pairs[b]
-                rel_logits[b, :n] = per_doc_logits[b]
-                rel_mask[b, :n] = 1
+            L = int(state["text_lengths"][b])
+            cand = extract_spans_from_token_probs(
+                logits[0, b, :L], logits[1, b, :L], logits[2, b, :L], thr_logit
+            )
+            if len(cand) > self.top_k:
+                cand = cand[: self.top_k]
+            if len(cand) and L:
+                words = state["words"][b]
+                st = np.clip(cand[:, 0], 0, L - 1)
+                en = np.clip(cand[:, 1], 0, L - 1)
+                cat = np.concatenate([words[st], words[en]], axis=1)
+                reps = np.tanh(_mm(cat, self.w_span))  # M5, markerV0-ish
+                reps /= np.linalg.norm(reps, axis=1, keepdims=True) + 1e-9
+            else:
+                reps = np.zeros((0, self.dim))
+            pairs, rl = self._relex_tail(reps, rel_prompts[b], thr_logit)
+            per_doc_pairs.append(pairs)
+            per_doc_logits.append(rl)
+        rel_idx, rel_logits, rel_mask = self._pad_rel_outputs(
+            per_doc_pairs, per_doc_logits, B, C_rel
+        )
         return [logits, rel_idx, rel_logits, rel_mask]

@@ -566,6 +566,17 @@ class GLiNERPipeline:
         tokens, starts, ends = self._prepare(text, lang)
         if not tokens:
             return [], []
+        if cfg.mode == "token":
+            # token-mode joint relex (UniEncoderTokenRelexGLiNER,
+            # gliner/model.py:2902): BIO token scoring proposes the
+            # candidate-span list, the relex tail runs over it
+            if self.is_session_backend:
+                return self._predict_triples_token_session(
+                    tokens, text, starts, ends, thr, rel_thr
+                )
+            return self._predict_triples_token(
+                tokens, text, starts, ends, thr, adj_thr, rel_thr
+            )
         if self.is_session_backend and self.config.scoring != "gazetteer":
             return self._predict_triples_session(
                 tokens, text, starts, ends, thr, rel_thr
@@ -693,6 +704,108 @@ class GLiNERPipeline:
         relations = format_relations(rel_tuples, spans, text, starts, ends)
         return entities, relations
 
+    def _predict_triples_token(
+        self, tokens, text, starts, ends, thr, adj_thr, rel_thr
+    ):
+        """Token-mode joint relex, deterministic-analog backend
+        (UniEncoderTokenRelexGLiNER, gliner/model.py:2902).
+
+        1. BIO token scoring → (W, C, 3) start/end/inside probs (M7);
+        2. candidate-span proposal from the BIO flags — NOT the L×K
+           enumeration grid (extract_spans_from_tokens,
+           modeling/utils.py:299-379 via the represent_spans override,
+           base.py:2497-2514): every (start-flag, end-flag) pair of one
+           class whose inside positions are all flagged;
+        3. the SPAN-relex tail over the candidate list: adjacency +
+           all directed pairs over adjacency_threshold in row-major
+           order + pair×relation scoring (base.py:2216-2256);
+        4. TokenRelexDecoder.decode (decoding/decoder.py:1325-1427):
+           entity assembly with the BIO min rule, then relation decode
+           validating rel_idx — candidate-list indices — against the
+           POST-greedy span list by bounds check only (the same
+           index-alignment quirk as span mode, decoder.py:1305-1310).
+        """
+        from ..kernel.decoding import (
+            decode_token_scores,
+            extract_spans_from_token_probs,
+        )
+
+        cfg = self.config
+        token_embs = self.encoder.embed_tokens(tokens)
+        logits = self.encoder.token_label_scores(token_embs, self.label_embs)
+        probs = sigmoid(logits)  # (W, C, 3)
+        cand = extract_spans_from_token_probs(
+            probs[:, :, 0], probs[:, :, 1], probs[:, :, 2], thr
+        )
+        rel_idx = None
+        rel_probs = None
+        if len(cand) >= 2 and self.rel_embs is not None and len(self.rel_embs):
+            cand_reps = self.encoder.span_representations_tokens(tokens, cand)
+            adj = self.encoder.adjacency_probs(cand_reps, cfg.relations_mode)
+            E = len(cand)
+            rows, cols = np.nonzero(~np.eye(E, dtype=bool))  # row-major (i, j)
+            sel = adj[rows, cols] > adj_thr
+            pairs = np.stack([rows[sel], cols[sel]], axis=1)
+            if len(pairs):
+                rel_logits = self.encoder.pair_relation_logits_packed(
+                    cand_reps, pairs, self.rel_embs
+                )
+                rel_idx = pairs
+                rel_probs = sigmoid(rel_logits)
+        spans = decode_token_scores(
+            probs[:, :, 0],
+            probs[:, :, 1],
+            probs[:, :, 2],
+            self.id_to_class,
+            threshold=thr,
+            flat_ner=cfg.flat_ner,
+            multi_label=cfg.multi_label,
+        )
+        rel_tuples = decode_relations(
+            spans, rel_idx, rel_probs, None, self.rel_id_to_class, threshold=rel_thr
+        )
+        entities = map_spans_to_char(spans, text, starts, ends)
+        relations = format_relations(rel_tuples, spans, text, starts, ends)
+        return entities, relations
+
+    def _predict_triples_token_session(
+        self, tokens, text, starts, ends, thr, rel_thr
+    ):
+        """Token-relex ONNX route: the exported graph emits
+        logits/rel_idx/rel_logits/rel_mask with NO span grid in the
+        declared inputs (UniEncoderTokenRelexGLiNER._get_onnx_input_spec,
+        gliner/model.py:2916-2952); candidate proposal, adjacency and
+        pair scoring run IN-GRAPH at the export-default thresholds.
+        Here we only decode the four outputs (TokenRelexDecoder
+        semantics, incl. the index-alignment quirk)."""
+        from ..kernel.decoding import decode_token_scores
+
+        if not hasattr(self.encoder, "token_relex_outputs"):
+            raise ValueError(
+                "token-mode triples on a session backend need a token-relex "
+                "graph (logits/rel_idx/rel_logits/rel_mask, no span grid — "
+                "gliner/model.py:2916-2952); this session exports "
+                f"{type(self.encoder).__name__} outputs only"
+            )
+        probs, rel_idx, rel_probs = self.encoder.token_relex_outputs(
+            [tokens], self.labels, self.relations
+        )[0]
+        spans = decode_token_scores(
+            probs[:, :, 0],
+            probs[:, :, 1],
+            probs[:, :, 2],
+            self.id_to_class,
+            threshold=thr,
+            flat_ner=self.config.flat_ner,
+            multi_label=self.config.multi_label,
+        )
+        rel_tuples = decode_relations(
+            spans, rel_idx, rel_probs, None, self.rel_id_to_class, threshold=rel_thr
+        )
+        entities = map_spans_to_char(spans, text, starts, ends)
+        relations = format_relations(rel_tuples, spans, text, starts, ends)
+        return entities, relations
+
     def predict_triples_batch(
         self,
         texts: Sequence[str],
@@ -703,11 +816,17 @@ class GLiNERPipeline:
         sub-batch on relex session backends, per-doc otherwise."""
         n = len(texts)
         lang_list = list(langs) if langs is not None else ["en"] * n
-        batched = (
-            self.is_session_backend
-            and self.config.scoring != "gazetteer"
-            and getattr(self.encoder, "supports_relations", False)
-        )
+        token_mode = self.config.mode == "token"
+        if token_mode:
+            batched = self.is_session_backend and hasattr(
+                self.encoder, "token_relex_outputs"
+            )
+        else:
+            batched = (
+                self.is_session_backend
+                and self.config.scoring != "gazetteer"
+                and getattr(self.encoder, "supports_relations", False)
+            )
         if not batched:
             return [
                 self.predict_triples(t, lg or "en", threshold=threshold)
@@ -724,15 +843,39 @@ class GLiNERPipeline:
                     prepared.append((i, tokens, starts, ends))
         results: List[Tuple[list, list]] = [([], []) for _ in range(n)]
         order = sorted(range(len(prepared)), key=lambda j: -len(prepared[j][1]))
+        from ..kernel.decoding import decode_token_scores
+
         for idx_chunk in self._session_chunks(order, prepared):
             chunk = [prepared[j] for j in idx_chunk]
-            outs = self.encoder.relex_outputs(
-                [c[1] for c in chunk], self.labels, self.relations
+            run = (
+                self.encoder.token_relex_outputs
+                if token_mode
+                else self.encoder.relex_outputs
             )
+            outs = run([c[1] for c in chunk], self.labels, self.relations)
             for (i, tokens, starts, ends), (probs, rel_idx, rel_probs) in zip(
                 chunk, outs
             ):
                 text = texts[i]
+                if token_mode:
+                    spans = decode_token_scores(
+                        probs[:, :, 0],
+                        probs[:, :, 1],
+                        probs[:, :, 2],
+                        self.id_to_class,
+                        threshold=thr,
+                        flat_ner=cfg.flat_ner,
+                        multi_label=cfg.multi_label,
+                    )
+                    rel_tuples = decode_relations(
+                        spans, rel_idx, rel_probs, None,
+                        self.rel_id_to_class, threshold=rel_thr,
+                    )
+                    results[i] = (
+                        map_spans_to_char(spans, text, starts, ends),
+                        format_relations(rel_tuples, spans, text, starts, ends),
+                    )
+                    continue
                 probs = self._apply_gazetteer(probs, text, starts, ends)
                 spans = decode_span_probs(
                     probs,

@@ -165,6 +165,22 @@ class TestSessionGates:
             _spark_rows(spark, "kg_triples_onnx"), _kernel_triples(docs, pipe)
         )
 
+    def test_triples_tokenmode_onnx(self, spark, docs):
+        """Token-relex ONNX contract (token inputs, relex outputs,
+        in-graph candidate proposal): batched session sub-batches on
+        executors vs per-document kernel calls on the driver."""
+        from gliner_spark.model.ort_testing import fake_token_relex_encoder_factory
+
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, entry.RELATIONS,
+            PipelineConfig(threshold=0.5, mode="token"),
+            encoder=fake_token_relex_encoder_factory(),
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_triples_tokenmode_onnx"),
+            _kernel_triples(docs, pipe),
+        )
+
 
 # ---------------------------------------------------------------------------
 # relex gates
@@ -180,6 +196,32 @@ class TestTripleGates:
         _assert_equal(
             _spark_rows(spark, "kg_triples_zeroshot"), _kernel_triples(docs, pipe)
         )
+
+    def test_triples_tokenmode(self, spark, docs):
+        """Token-mode JOINT relex (UniEncoderTokenRelexGLiNER analog):
+        distributed mapInPandas vs the Spark-free kernel, full row-set
+        equality incl. char offsets and bit-identical scores."""
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, entry.RELATIONS,
+            PipelineConfig(
+                threshold=0.4, adjacency_threshold=0.35,
+                relation_threshold=0.2, mode="token",
+            ),
+        )
+        rows = []
+        for doc_id, text in docs:
+            _ents, rels = pipe.predict_triples(text, "en")
+            for r in rels:
+                rows.append(
+                    (
+                        doc_id,
+                        r["head"]["start"], r["head"]["end"], r["head"]["text"],
+                        r["relation"],
+                        r["tail"]["start"], r["tail"]["end"], r["tail"]["text"],
+                        float(r["score"]),
+                    )
+                )
+        _assert_equal(_spark_rows(spark, "kg_triples_tokenmode"), sorted(rows))
 
     def test_triples_adjmode_gcn(self, spark, docs):
         pipe = GLiNERPipeline(

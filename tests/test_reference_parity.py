@@ -161,7 +161,7 @@ class _NT:
         return "cpu"
 
     def __getitem__(self, idx):
-        return _NT(self.a[idx])
+        return _NT(self.a[_NT._u(idx)])
 
     def __setitem__(self, idx, value):
         self.a[idx] = value.a if isinstance(value, _NT) else value
@@ -208,6 +208,57 @@ class _NT:
     def __iter__(self):
         return (_NT(x) for x in self.a)
 
+    # -- surface for extract_spans_from_tokens (modeling/utils.py:299) --
+    @staticmethod
+    def _u(x):
+        """Unwrap _NT (incl. inside index tuples) to numpy."""
+        if isinstance(x, _NT):
+            return x.a
+        if isinstance(x, tuple):
+            return tuple(_NT._u(e) for e in x)
+        return x
+
+    def __eq__(self, other):
+        return _NT(self.a == self._u(other))
+
+    __hash__ = object.__hash__  # __eq__ would otherwise unset it
+
+    def __le__(self, other):
+        return _NT(self.a <= self._u(other))
+
+    def __ge__(self, other):
+        return _NT(self.a >= self._u(other))
+
+    def __and__(self, other):
+        return _NT(self.a & self._u(other))
+
+    def __add__(self, other):
+        return _NT(self.a + self._u(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return _NT(self.a - self._u(other))
+
+    def long(self):
+        import numpy as np
+
+        return _NT(self.a.astype(np.int64))
+
+    def cumsum(self, dim):
+        return _NT(self.a.cumsum(axis=dim))
+
+    @property
+    def T(self):
+        return _NT(self.a.T)
+
+    def nonzero(self, as_tuple=False):
+        import numpy as np
+
+        if as_tuple:
+            return tuple(_NT(i) for i in np.nonzero(self.a))
+        return _NT(np.argwhere(self.a))
+
 
 def _rich_torch_shim():
     """numpy-backed torch module good enough to EXECUTE the reference's
@@ -244,6 +295,30 @@ def _rich_torch_shim():
 
     m.where, m.zeros, m.topk = where, zeros, topk
     m.ones, m.sigmoid, m.cat = ones, sigmoid, cat
+
+    # -- surface for extract_spans_from_tokens (modeling/utils.py:299) --
+    m.long = np.int64
+
+    def empty(*shape, dtype=None, device=None):
+        return _NT(np.empty(shape, dtype=np.int64 if dtype is m.long else dtype))
+
+    def stack(tensors, dim=0):
+        return _NT(np.stack([t.a for t in tensors], axis=dim))
+
+    def full(shape, fill, dtype=None, device=None):
+        return _NT(np.full(shape, fill, dtype=np.int64 if dtype is m.long else dtype))
+
+    def _pad(t, pads, mode="constant", value=0):
+        a = t.a
+        npad = [(0, 0)] * a.ndim
+        for i in range(len(pads) // 2):  # torch pads last dims first
+            npad[a.ndim - 1 - i] = (pads[2 * i], pads[2 * i + 1])
+        return _NT(np.pad(a, npad, constant_values=value))
+
+    m.empty, m.stack, m.full = empty, stack, full
+    nn = types.ModuleType("torch.nn")
+    nn.functional = types.SimpleNamespace(pad=_pad)
+    m.nn = nn
     return m
 
 
@@ -425,6 +500,99 @@ class TestTokenDecodeParity:
             ] == [
                 (s.start, s.end, s.entity_type, s.score) for s in exp
             ], (case, flat, ml)
+
+
+class TestTokenRelexParity:
+    """Token-mode joint relex differentials: the candidate-span
+    proposal (extract_spans_from_tokens, modeling/utils.py:299-379) and
+    the full TokenRelexDecoder.decode (decoding/decoder.py:1325-1427,
+    incl. _decode_relations' index-alignment quirk) run LIVE under the
+    shim against our kernel composition."""
+
+    @pytest.fixture(scope="class")
+    def ref_modeling_utils(self, ref_decoder_live):
+        old_torch = sys.modules.get("torch")
+        sys.modules["torch"] = _rich_torch_shim()
+        try:
+            mod = _load(
+                "refg2.modeling.utils",
+                f"{REF}/modeling/utils.py",
+                "refg2.modeling",
+            )
+        except Exception as e:
+            pytest.skip(f"reference modeling.utils not loadable: {e!r}")
+        finally:
+            if old_torch is not None:
+                sys.modules["torch"] = old_torch
+        yield mod
+        sys.modules.pop("refg2.modeling.utils", None)
+
+    def test_candidate_proposal_random(self, ref_modeling_utils):
+        import numpy as np
+
+        from gliner_spark.kernel.decoding import (
+            extract_spans_from_token_probs,
+            sigmoid as np_sigmoid,
+        )
+
+        rng = np.random.default_rng(47)
+        for case in range(120):
+            W = int(rng.integers(1, 14))
+            C = int(rng.integers(1, 4))
+            logits = rng.normal(0, 1.5, size=(1, W, C, 3))
+            span_idx, span_mask = ref_modeling_utils.extract_spans_from_tokens(
+                _NT(logits), None, 0.5
+            )
+            exp = span_idx.a[0][span_mask.a[0].astype(bool)]
+            probs = np_sigmoid(logits[0])
+            got = extract_spans_from_token_probs(
+                probs[:, :, 0], probs[:, :, 1], probs[:, :, 2], 0.5
+            )
+            assert got.tolist() == exp.tolist(), case
+
+    def test_token_relex_decode_random(self, ref_decoder_live):
+        import numpy as np
+
+        from gliner_spark.kernel.decoding import sigmoid as np_sigmoid
+
+        dec = ref_decoder_live.TokenRelexDecoder(config=None)
+        rng = np.random.default_rng(53)
+        id_to_class = {1: "A", 2: "B"}
+        rel_id_to_class = {1: "works_at", 2: "located_in"}
+        for case in range(40):
+            W = int(rng.integers(1, 12))
+            logits = rng.normal(0, 1.2, size=(1, W, 2, 3))
+            tokens = [[f"t{i}" for i in range(W)]]
+            N = int(rng.integers(1, 7))
+            # indices intentionally include out-of-range values to hit
+            # the post-greedy index-alignment quirk (decoder.py:1305)
+            rel_idx = rng.integers(-1, 8, size=(N, 2))
+            rel_logits = rng.normal(0, 2, size=(N, 2))
+            mask = rng.random(N) > 0.2
+            flat = bool(case % 2)
+            exp_spans, exp_rels = dec.decode(
+                tokens, id_to_class, _NT(logits),
+                rel_idx=_NT(rel_idx[None]),
+                rel_logits=_NT(rel_logits[None]),
+                rel_mask=_NT(mask[None]),
+                flat_ner=flat, threshold=0.5, relation_threshold=0.5,
+                multi_label=False, rel_id_to_classes=rel_id_to_class,
+            )
+            probs = np_sigmoid(logits[0])  # (W, C, 3)
+            got_spans = ours.decode_token_scores(
+                probs[:, :, 0], probs[:, :, 1], probs[:, :, 2],
+                id_to_class, threshold=0.5, flat_ner=flat, multi_label=False,
+            )
+            got_rels = ours.decode_relations(
+                got_spans, rel_idx, np_sigmoid(rel_logits), mask,
+                rel_id_to_class, threshold=0.5,
+            )
+            assert [
+                (s.start, s.end, s.entity_type, s.score) for s in got_spans
+            ] == [
+                (s.start, s.end, s.entity_type, s.score) for s in exp_spans[0]
+            ], case
+            assert got_rels == exp_rels[0], case
 
 
 class TestDataProcessingParity:

@@ -77,3 +77,86 @@ class TestTokenMode:
         }
         got_flat = {url: sorted(v) for url, v in by_url.items()}
         assert got_flat == exp_flat
+
+
+class TestTokenRelex:
+    """Token-mode JOINT relex (UniEncoderTokenRelexGLiNER analog,
+    gliner/model.py:2902): candidate proposal from BIO flags + the
+    span-relex tail + TokenRelexDecoder semantics."""
+
+    RELS = ["works_at", "located_in"]
+
+    def _pipe(self, **kw):
+        cfg = dict(
+            threshold=0.4, adjacency_threshold=0.35,
+            relation_threshold=0.2, mode="token",
+        )
+        cfg.update(kw)
+        return GLiNERPipeline(LABELS, self.RELS, PipelineConfig(**cfg))
+
+    def test_emits_relations_with_byte_identical_text(self):
+        pipe = self._pipe()
+        n_rels = 0
+        for r in synth_pages(N):
+            ents, rels = pipe.predict_triples(r["text"], r["lang"])
+            for rel in rels:
+                n_rels += 1
+                h, t = rel["head"], rel["tail"]
+                assert r["text"][h["start"]:h["end"]] == h["text"]
+                assert r["text"][t["start"]:t["end"]] == t["text"]
+                assert rel["relation"] in self.RELS
+                # head/tail indices point into the POST-greedy entity list
+                assert ents[h["entity_idx"]]["text"] == h["text"]
+                assert ents[t["entity_idx"]]["text"] == t["text"]
+        assert n_rels > 0  # non-vacuous on the synthetic corpus
+
+    def test_relations_respect_thresholds(self):
+        lax = self._pipe()
+        strict = self._pipe(relation_threshold=0.99)
+        text = next(iter(synth_pages(5)))["text"]
+        _, rels_lax = lax.predict_triples(text)
+        _, rels_strict = strict.predict_triples(text)
+        assert len(rels_strict) <= len(rels_lax)
+        assert all(r["score"] > 0.2 for r in rels_lax)
+
+    def test_differs_from_span_mode_relex(self):
+        """The token route must be a genuinely different path than the
+        span-enumeration relex (different candidate proposal)."""
+        token = self._pipe()
+        span = GLiNERPipeline(
+            LABELS, self.RELS,
+            PipelineConfig(
+                threshold=0.4, adjacency_threshold=0.35,
+                relation_threshold=0.2,
+            ),
+        )
+        tok_all, span_all = [], []
+        for r in synth_pages(N):
+            tok_all.append(token.predict_triples(r["text"])[1])
+            span_all.append(span.predict_triples(r["text"])[1])
+        assert tok_all != span_all
+
+    def test_session_without_relex_graph_raises(self):
+        """A span-only token session can't serve triples: the pipeline
+        rejects it eagerly at construction (supports_relations gate)."""
+        from gliner_spark.model.onnx_backend import OnnxTokenEncoder
+        from gliner_spark.model.ort_testing import FakeTokenSession
+
+        with pytest.raises(ValueError, match="relex-capable"):
+            GLiNERPipeline(
+                LABELS, self.RELS, PipelineConfig(threshold=0.4, mode="token"),
+                encoder=OnnxTokenEncoder(session=FakeTokenSession()),
+            )
+
+    def test_tokenrelex_session_batch_matches_per_doc(self):
+        from gliner_spark.model.ort_testing import fake_token_relex_encoder_factory
+
+        pipe = GLiNERPipeline(
+            LABELS, self.RELS, PipelineConfig(threshold=0.5, mode="token"),
+            encoder=fake_token_relex_encoder_factory(),
+        )
+        texts = [r["text"] for r in synth_pages(25)]
+        batch = pipe.predict_triples_batch(texts)
+        single = [pipe.predict_triples(t) for t in texts]
+        assert batch == single
+        assert any(rels for _ents, rels in batch)  # non-vacuous
