@@ -611,13 +611,20 @@ def q_kg_triples_kge_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KGE triple-plausibility refinement (M14): the gazetteer triples
     ranked by the TuckER interaction over mean-pooled surface
     embeddings — the prune-implausible-edges pass before graph
-    materialization. Rows-only check (hash-seeded core tensor)."""
+    materialization. Rows-only check (hash-seeded core tensor).
+
+    The extraction is persisted before refinement: score_triples reads
+    its input twice (distinct side + probe side of the score join), and
+    re-running the Python extraction stage for each read doubles the
+    query's only real cost. At production scale the triples are a
+    materialized graph table (sinks/graph.py) and refinement reads the
+    parquet — persist() is the bench-scale stand-in for that."""
     from gliner_spark.operators.kge_scores import score_triples
 
-    t = q_kg_triples(spark, sf_dir)
-    scored = score_triples(
-        t.select("doc_id", "subj_text", "pred", "obj_text"), method="tucker"
-    )
+    t = q_kg_triples(spark, sf_dir).select(
+        "doc_id", "subj_text", "pred", "obj_text"
+    ).persist()
+    scored = score_triples(t, method="tucker")
     w = Window.partitionBy("doc_id", "pred").orderBy(
         F.desc("kge_score"), "subj_text", "obj_text"
     )

@@ -7,8 +7,19 @@ M8 representation the linker uses) and applying a KGE interaction
 extraction and graph materialization: rank edges per (subj, pred) and
 drop the implausible tail.
 
-Arrow-batched ``mapInPandas``; the encoder is the worker-level
-singleton; no shuffle is introduced (per-row scoring).
+Scale shape (round-4 rework): the score is a deterministic function of
+the three surface STRINGS, so only the DISTINCT (subj, pred, obj)
+combinations are scored — one aggregation of the projected key columns
+(map-side combined), a Pandas-UDF pass over that small table, then a
+hash join of the scores back onto the triples (JVM-side, codegen,
+broadcast by default). The triple table itself never enters Python.
+This replaced a full-table ``mapInPandas`` that CHAINED onto the
+extraction's Python stage — two pipelined Python workers per task cost
+~6 s of Arrow/worker round-trips at sf0.1 regardless of compute (the
+round-3 "cold path regression" was this plan shape, not the embedding
+loop: single-process scoring of the whole sf0.1 table takes 0.1 s).
+Scores are bit-identical to the inline form (per-row math independent
+of batch composition).
 """
 
 from __future__ import annotations
@@ -18,7 +29,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..model.encoder import get_encoder
 from ..model.kge import score_triples_np
@@ -26,16 +37,19 @@ from ..model.kge import score_triples_np
 
 # surface → mean-pooled unit vector, per (dim, seed). Triple surfaces
 # are Zipf-heavy across Arrow batches; without this every batch re-pools
-# the same few thousand entity strings word by word in Python (the cost
-# center the round-2 profile flagged on kg_triples_kge_ranked).
+# the same few thousand entity strings word by word in Python.
 _SURFACE_CACHE: dict = {}
 _SURFACE_CACHE_MAX = 2_000_000
 
 
 def _embed_batch(enc, texts) -> np.ndarray:
     cache = _SURFACE_CACHE.setdefault((enc.dim, enc.seed), {})
-    if len(cache) > _SURFACE_CACHE_MAX:  # bound executor memory
-        cache.clear()
+    if len(cache) > _SURFACE_CACHE_MAX:
+        # partial eviction (oldest half, dict preserves insertion
+        # order): a wholesale clear() made above-cap vocabularies
+        # thrash — every batch recomputed everything (round-3 advice)
+        for k in list(cache)[: _SURFACE_CACHE_MAX // 2]:
+            del cache[k]
     out = []
     for t in texts:
         t = str(t)
@@ -57,45 +71,62 @@ def score_triples(
     subj_col: str = "subj_text",
     pred_col: str = "pred",
     obj_col: str = "obj_text",
+    broadcast_scores: bool = True,
+    score_partitions: int = 1,
 ) -> DataFrame:
-    """triples → triples + ``kge_score double``."""
-    cols = triples.columns
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in triples.schema)
-    schema += ", kge_score double"
+    """triples → triples + ``kge_score double``.
+
+    ``broadcast_scores=True`` (default) broadcast-joins the per-distinct
+    scores back — right whenever the distinct (subj, pred, obj) set fits
+    in executor memory, which Zipf surface distributions give you far
+    past the bench scales. Pass ``False`` on corpora whose distinct
+    triple set is itself huge; the join then shuffles both sides and
+    AQE picks the strategy.
+
+    ``score_partitions`` coalesces the distinct table before the Pandas
+    stage (default 1): a single Arrow task scores ~500k distinct
+    triples/sec, while each extra Python task costs a worker
+    cold-start (~2-3 s measured on this host when the pool has no idle
+    worker) — for the Zipf-small distinct sets this operator exists
+    for, fewer bigger tasks win. Raise it when the distinct set is
+    genuinely large.
+    """
+    key_t = {
+        f.name: f.dataType.simpleString()
+        for f in triples.schema
+        if f.name in (subj_col, pred_col, obj_col)
+    }
+    uniq = triples.select(
+        F.col(subj_col).alias("_s"),
+        F.col(pred_col).alias("_p"),
+        F.col(obj_col).alias("_o"),
+    ).distinct()
+    schema = (
+        f"_s {key_t[subj_col]}, _p {key_t[pred_col]}, _o {key_t[obj_col]}, "
+        "kge_score double"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         enc = get_encoder(dim, seed)
         for pdf in batches:
             out = pdf.copy()
             if len(pdf):
-                # The score is a deterministic function of the three
-                # surfaces, and surface triples repeat heavily (Zipf) —
-                # score each DISTINCT (subj, pred, obj) once per Arrow
-                # batch and map back. Bit-identical (per-row math is
-                # independent of batch composition), no extra shuffle.
-                uniq = pd.DataFrame(
-                    {
-                        "s": pdf[subj_col].astype(str),
-                        "p": pdf[pred_col].astype(str),
-                        "o": pdf[obj_col].astype(str),
-                    }
-                ).drop_duplicates()
-                h = _embed_batch(enc, uniq["s"])
-                r = _embed_batch(enc, uniq["p"])
-                t = _embed_batch(enc, uniq["o"])
-                scores = score_triples_np(h, r, t, method)
-                lut = {
-                    key: float(v)
-                    for key, v in zip(
-                        zip(uniq["s"], uniq["p"], uniq["o"]), scores
-                    )
-                }
+                h = _embed_batch(enc, pdf["_s"])
+                r = _embed_batch(enc, pdf["_p"])
+                t = _embed_batch(enc, pdf["_o"])
                 out["kge_score"] = [
-                    lut[(str(s), str(p), str(o))]
-                    for s, p, o in zip(pdf[subj_col], pdf[pred_col], pdf[obj_col])
+                    float(v) for v in score_triples_np(h, r, t, method)
                 ]
             else:
                 out["kge_score"] = pd.Series([], dtype="float64")
             yield out
 
-    return triples.mapInPandas(run, schema)
+    scored = uniq.coalesce(score_partitions).mapInPandas(run, schema)
+    if broadcast_scores:
+        scored = F.broadcast(scored)
+    cond = (
+        triples[subj_col].eqNullSafe(scored["_s"])
+        & triples[pred_col].eqNullSafe(scored["_p"])
+        & triples[obj_col].eqNullSafe(scored["_o"])
+    )
+    return triples.join(scored, cond, "left").drop("_s", "_p", "_o")

@@ -156,3 +156,42 @@ class TestRound2PlanShapes:
         assert "CartesianProduct" not in formatted_plan(out)
         comps = {r.node: r.component for r in out.collect()}
         assert set(comps.values()) == {0}
+
+
+class TestKgeScorePlanShape:
+    """Round-4 rework of operators/kge_scores.score_triples: the triple
+    table must NOT enter Python — only the distinct (subj, pred, obj)
+    table does, in ONE coalesced Arrow stage, and the scores come back
+    via a broadcast hash join. The previous full-table mapInPandas
+    CHAINED onto the extraction's Python stage and cost ~6 s of
+    worker/Arrow round-trips at sf0.1 regardless of compute."""
+
+    def test_single_python_stage_and_broadcast_join(self, spark, tmp_path):
+        from gliner_spark.operators.kge_scores import score_triples
+
+        df = spark.createDataFrame(
+            [(i, f"s{i%3}", "works_at", f"o{i%2}") for i in range(100)],
+            "doc_id long, subj_text string, pred string, obj_text string",
+        )
+        path = str(tmp_path / "triples")
+        df.write.parquet(path)
+        scored = score_triples(spark.read.parquet(path), method="tucker")
+        plan = formatted_plan(scored)
+        # exactly one Python stage (the distinct-side scorer); count
+        # tree nodes, not mentions (the details section repeats names)
+        import re
+
+        n_py = len(re.findall(r"[+:]- MapInPandas", plan))
+        assert n_py == 1, plan
+        assert "BroadcastHashJoin" in plan, plan
+        # the probe side is a plain scan: no exchange between the scan
+        # and the join on the big side (broadcast keeps it shuffle-free)
+        assert "CartesianProduct" not in plan
+        # and values are right: every distinct triple got one score,
+        # repeated triples share it
+        rows = scored.collect()
+        assert len(rows) == 100
+        by_key = {}
+        for r in rows:
+            by_key.setdefault((r.subj_text, r.pred, r.obj_text), set()).add(r.kge_score)
+        assert all(len(v) == 1 for v in by_key.values())
