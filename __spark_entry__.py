@@ -273,6 +273,24 @@ def q_kg_entities_tokenmode_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
 
 
+def q_kg_entities_biencoder_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-encoder ONNX graph contract (labels_embeddings input,
+    gliner/model.py:1746 + onnx/model.py:160-220): the label matrix is
+    precomputed ONCE on the driver (encode_labels, M8) and rides every
+    executor feed — the text carries no <<ENT>> prompt and the label
+    encoder never runs on the executors. Rows-only check."""
+    from gliner_spark.model.encoder import get_encoder
+    from gliner_spark.model.ort_testing import fake_biencoder_span_encoder_factory
+
+    embs = get_encoder(64, 42).embed_labels(ENT_LABELS)
+    ents = extract_entities(
+        _pages(spark, sf_dir), labels=ENT_LABELS, threshold=0.5, lang_col=None,
+        encoder_factory=fake_biencoder_span_encoder_factory,
+        label_embeddings=embs,
+    )
+    return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
+
+
 def q_kg_triples_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint relex through the ONNX relex graph contract (4-output
     session: logits/rel_idx/rel_logits/rel_mask) — rows-only check."""
@@ -757,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_adjmode_gcn": q_kg_triples_adjmode_gcn,
         "kg_entities_onnx": q_kg_entities_onnx,
         "kg_entities_tokenmode_onnx": q_kg_entities_tokenmode_onnx,
+        "kg_entities_biencoder_onnx": q_kg_entities_biencoder_onnx,
         "kg_triples_onnx": q_kg_triples_onnx,
         "kg_triples_tokenmode": q_kg_triples_tokenmode,
         "kg_triples_tokenmode_onnx": q_kg_triples_tokenmode_onnx,

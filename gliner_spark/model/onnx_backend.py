@@ -47,6 +47,12 @@ RELEX_OUTPUT_NAMES = ("logits", "rel_idx", "rel_logits", "rel_mask")
 # Token model (gliner/model.py:1941-1989): no span grid; logits come
 # back position-first (3=start/end/inside, B, W, C).
 TOKEN_INPUT_NAMES = ("input_ids", "attention_mask", "words_mask", "text_lengths")
+# Bi-encoder span model exported WITH the precomputed-embeddings input
+# (BaseBiEncoderGLiNER._get_embedding_input_name, gliner/model.py:1746;
+# BiEncoderSpanORTModel feeds labels_embeds straight into the graph,
+# gliner/onnx/model.py:160-220): the text feed carries NO label prompt
+# — labels arrive as a (C, D) float tensor.
+BIENCODER_SPAN_INPUT_NAMES = SPAN_INPUT_NAMES + ("labels_embeddings",)
 
 
 @dataclass
@@ -65,6 +71,7 @@ def build_span_feed(
     max_width: int = 12,
     relations: Optional[Sequence[str]] = None,
     include_span_grid: bool = True,
+    label_embeddings: Optional[np.ndarray] = None,
 ) -> Tuple[Dict[str, np.ndarray], FeedMeta]:
     """Word-token batch → the exact ONNX feed dict.
 
@@ -82,7 +89,12 @@ def build_span_feed(
     prompted: List[List[str]] = []
     prompt_len = None
     for tokens in batch_tokens:
-        if relations is not None:
+        if label_embeddings is not None:
+            # bi-encoder feed: labels ride the labels_embeddings tensor,
+            # the text carries no <<ENT>> prompt (processor parity: the
+            # bi-encoder data processor never prepends one)
+            p, plen = list(tokens), 0
+        elif relations is not None:
             p, plen = build_relex_prompt(tokens, labels, relations)
         else:
             p, plen = build_entity_prompt(tokens, labels)
@@ -114,6 +126,10 @@ def build_span_feed(
             span_mask[b, : L * K] = (sidx[:, 1] < L).astype(np.int64)
         feed["span_idx"] = span_idx
         feed["span_mask"] = span_mask
+    if label_embeddings is not None:
+        # float32: the dtype real bi-encoder exports declare for the
+        # labels_embeddings input (torch defaults; onnx/model.py)
+        feed["labels_embeddings"] = np.asarray(label_embeddings, dtype=np.float32)
     return feed, FeedMeta(word_counts, prompt_len, max_words)
 
 
@@ -336,3 +352,41 @@ class OnnxTokenRelexEncoder(OnnxTokenEncoder):
                 (probs, rel_idx[b][keep], sigmoid(rel_logits[b][keep]))
             )
         return result
+
+
+class OnnxBiEncoderSpanEncoder(OnnxSpanEncoder):
+    """Bi-encoder span graph exported with the ``labels_embeddings``
+    input (gliner/model.py:1746, onnx/model.py:160-220): the caller
+    precomputes the label matrix ONCE (``encode_labels``,
+    model.py:1627-1656) and every inference feed carries it as a
+    (C, D) float tensor — no label prompt in the text, no label
+    re-encoding per document. This is the M8 bi-encoder precompute win
+    on the SESSION backend: at 10^12 documents the label encoder runs
+    C times total instead of C times per batch."""
+
+    accepts_label_embeddings = True
+
+    def span_probs(
+        self,
+        batch_tokens: Sequence[Sequence[str]],
+        labels: Sequence[str],
+        label_embeddings: Optional[np.ndarray] = None,
+    ) -> List[np.ndarray]:
+        if label_embeddings is None:
+            raise ValueError(
+                "bi-encoder session graphs take precomputed label "
+                "embeddings (the labels_embeddings input, "
+                "gliner/model.py:1746); compute them once with "
+                "encode_labels and pass them through the pipeline's "
+                "label_embeddings parameter"
+            )
+        feed, meta = build_span_feed(
+            batch_tokens, labels, self.tokenizer, self.max_width,
+            label_embeddings=label_embeddings,
+        )
+        outputs = self._run(feed)
+        logits = np.asarray(outputs[0])  # (B, max_words, K, C)
+        return [
+            sigmoid(logits[b, : meta.word_counts[b]])
+            for b in range(len(batch_tokens))
+        ]

@@ -33,6 +33,7 @@ import numpy as np
 
 from .encoder import _hash_seed, _mm
 from .onnx_backend import (
+    BIENCODER_SPAN_INPUT_NAMES,
     RELEX_OUTPUT_NAMES,
     SPAN_INPUT_NAMES,
     SPAN_OUTPUT_NAMES,
@@ -394,3 +395,37 @@ class FakeTokenRelexSession(FakeTokenSession, FakeRelexSession):
             per_doc_pairs, per_doc_logits, B, C_rel
         )
         return [logits, rel_idx, rel_logits, rel_mask]
+
+
+class FakeBiEncoderSpanSession(FakeSpanSession):
+    """Bi-encoder span graph fake (gliner/onnx/model.py:160-220): same
+    text dataflow as the uni-encoder span graph but the label features
+    arrive as the ``labels_embeddings`` (C, D) input — the text feed
+    carries NO ``<<ENT>>`` prompt, and the graph consumes the
+    precomputed matrix directly (the M8 bi-encoder precompute).
+    Because the fake *uses* the tensor, a pipeline that forgot to
+    thread the embeddings (or threaded a wrong-shape matrix) changes
+    the logits — tests exercise the real feed path, not just shapes."""
+
+    input_names: Sequence[str] = BIENCODER_SPAN_INPUT_NAMES
+
+    def run(self, output_names, feed: Dict[str, np.ndarray]):
+        if "labels_embeddings" not in feed:
+            raise ValueError(
+                "bi-encoder graph requires the labels_embeddings input"
+            )
+        state = self._encode(feed)
+        embs = np.asarray(feed["labels_embeddings"], dtype=np.float64)
+        if embs.ndim != 2 or embs.shape[1] != self.dim:
+            raise ValueError(
+                f"labels_embeddings must be (C, {self.dim}), got {embs.shape}"
+            )
+        state["prompts"] = np.repeat(embs[None], state["B"], axis=0)
+        state["C"] = embs.shape[0]
+        return [self._span_logits(state)]
+
+
+def fake_biencoder_span_encoder_factory():
+    from .onnx_backend import OnnxBiEncoderSpanEncoder
+
+    return OnnxBiEncoderSpanEncoder(session=FakeBiEncoderSpanSession())

@@ -169,13 +169,30 @@ class GLiNERPipeline:
                     f"graph's span grid wins — construct the encoder with "
                     f"the configured width or align the config"
                 )
-            if label_embeddings is not None:
+            if label_embeddings is not None and not getattr(
+                self.encoder, "accepts_label_embeddings", False
+            ):
                 raise ValueError(
                     "label_embeddings override is a bi-encoder surface; "
                     "uni-encoder session graphs embed labels in-graph via "
-                    "the <<ENT>> prompt (gliner/model.py:1875-1901)"
+                    "the <<ENT>> prompt (gliner/model.py:1875-1901). Use "
+                    "OnnxBiEncoderSpanEncoder for graphs exported with the "
+                    "labels_embeddings input (model.py:1746)"
                 )
-            self.label_embs = None
+            if label_embeddings is not None:
+                # bi-encoder SESSION graph (labels_embeddings input,
+                # onnx/model.py:160-220): the precomputed matrix rides
+                # every feed; shape-checked against the label count
+                # (the graph's hidden size is its own business)
+                embs = np.asarray(label_embeddings, dtype=np.float64)
+                if embs.ndim != 2 or embs.shape[0] != len(self.labels):
+                    raise ValueError(
+                        f"label_embeddings shape {embs.shape} != "
+                        f"({len(self.labels)}, D)"
+                    )
+                self.label_embs = embs
+            else:
+                self.label_embs = None
             self.rel_embs = None
             if self.relations and not getattr(self.encoder, "supports_relations", False):
                 raise ValueError(
@@ -273,8 +290,14 @@ class GLiNERPipeline:
         if self.is_session_backend and self.config.scoring != "gazetteer":
             # ONNX route: prompt construction, subword tokenization,
             # word masks and the span grid all happen inside
-            # build_span_feed; logits come back (L, K, C).
-            probs = self.encoder.span_probs([tokens], self.labels)[0]
+            # build_span_feed; logits come back (L, K, C). Bi-encoder
+            # graphs additionally take the precomputed label matrix.
+            if getattr(self.encoder, "accepts_label_embeddings", False):
+                probs = self.encoder.span_probs(
+                    [tokens], self.labels, label_embeddings=self.label_embs
+                )[0]
+            else:
+                probs = self.encoder.span_probs([tokens], self.labels)[0]
             return probs, np.zeros((L * K, 0))
         # Structural parity: the prompt exists on the real-model path.
         _prompted, _plen = build_entity_prompt(tokens, self.labels)
@@ -471,7 +494,15 @@ class GLiNERPipeline:
         order = sorted(range(len(prepared)), key=lambda j: -len(prepared[j][1]))
         for idx_chunk in self._session_chunks(order, prepared):
             chunk = [prepared[j] for j in idx_chunk]
-            probs_list = self.encoder.span_probs([c[1] for c in chunk], self.labels)
+            if getattr(self.encoder, "accepts_label_embeddings", False):
+                probs_list = self.encoder.span_probs(
+                    [c[1] for c in chunk], self.labels,
+                    label_embeddings=self.label_embs,
+                )
+            else:
+                probs_list = self.encoder.span_probs(
+                    [c[1] for c in chunk], self.labels
+                )
             for (i, tokens, starts, ends), probs in zip(chunk, probs_list):
                 text = texts[i]
                 probs = self._apply_gazetteer(probs, text, starts, ends)

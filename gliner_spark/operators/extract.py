@@ -126,7 +126,7 @@ def _factory_key(encoder_factory, encoder_key=None):
 
 def _get_pipeline(
     labels, relations, cfg_kwargs, gazetteer=None, patterns=None,
-    encoder_factory=None, encoder_key=None,
+    encoder_factory=None, encoder_key=None, label_embeddings=None,
 ) -> GLiNERPipeline:
     """Process-level pipeline singleton keyed by (labels, relations, cfg).
 
@@ -139,6 +139,16 @@ def _get_pipeline(
     factory identity (see _factory_key).
     """
     factory_key = _factory_key(encoder_factory, encoder_key)
+    if label_embeddings is not None:
+        import hashlib
+        import numpy as _np
+
+        emb_key = hashlib.blake2b(
+            _np.asarray(label_embeddings, dtype=_np.float64).tobytes(),
+            digest_size=8,
+        ).hexdigest()
+    else:
+        emb_key = None
     key = (
         tuple(labels),
         tuple(relations),
@@ -146,6 +156,7 @@ def _get_pipeline(
         tuple(sorted((gazetteer or {}).items())),
         tuple(sorted(patterns or [])),
         factory_key,
+        emb_key,
     )
     pipe = _PIPELINE_CACHE.get(key)
     if pipe is None:
@@ -156,6 +167,7 @@ def _get_pipeline(
             encoder=encoder_factory() if encoder_factory is not None else None,
             gazetteer=gazetteer,
             patterns=patterns,
+            label_embeddings=label_embeddings,
         )
         if len(_PIPELINE_CACHE) >= 128:  # bound memory; prompt-mode relex
             _PIPELINE_CACHE.pop(next(iter(_PIPELINE_CACHE)))  # cycles label sets
@@ -178,6 +190,7 @@ def extract_entities(
     return_class_probs: bool = False,
     encoder_factory=None,
     encoder_key: Optional[str] = None,
+    label_embeddings=None,
     **cfg_kwargs,
 ) -> DataFrame:
     """pages(url, text[, lang]) → entities(url, start, end, text, label, score).
@@ -194,6 +207,12 @@ def extract_entities(
     ``encoder_factory`` selects the scoring backend per worker (e.g. an
     ``OnnxSpanEncoder`` over a session loaded from SparkFiles); the
     default is the deterministic analog.
+    ``label_embeddings`` is the bi-encoder precompute (a (C, D) matrix
+    from ``encode_labels``, reference model.py:1627-1656): computed once
+    on the driver, it ships inside the task closure and — on a
+    bi-encoder session backend (OnnxBiEncoderSpanEncoder) — rides every
+    ONNX feed as the ``labels_embeddings`` input, so the label encoder
+    never runs on the executors at all.
     """
     labels = list(labels)
     cfg = dict(threshold=threshold, flat_ner=flat_ner, multi_label=multi_label)
@@ -212,6 +231,7 @@ def extract_entities(
         pipe = _get_pipeline(
             labels, [], cfg, gazetteer=gazetteer,
             encoder_factory=encoder_factory, encoder_key=encoder_key,
+            label_embeddings=label_embeddings,
         )
         for pdf in batches:
             rows: List[tuple] = []

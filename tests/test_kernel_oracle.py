@@ -154,6 +154,25 @@ class TestSessionGates:
             _kernel_entities(docs, pipe),
         )
 
+    def test_entities_biencoder_onnx(self, spark, docs):
+        """Bi-encoder ONNX contract: driver-precomputed label matrix
+        rides every feed (labels_embeddings input, no prompt)."""
+        from gliner_spark.model.encoder import get_encoder
+        from gliner_spark.model.ort_testing import (
+            fake_biencoder_span_encoder_factory,
+        )
+
+        embs = get_encoder(64, 42).embed_labels(entry.ENT_LABELS)
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [], PipelineConfig(threshold=0.5),
+            encoder=fake_biencoder_span_encoder_factory(),
+            label_embeddings=embs,
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_entities_biencoder_onnx"),
+            _kernel_entities(docs, pipe),
+        )
+
     def test_triples_onnx(self, spark, docs):
         from gliner_spark.model.ort_testing import fake_relex_encoder_factory
 

@@ -331,3 +331,108 @@ class TestOnnxTokenPipeline:
         enc = OnnxTokenEncoder(session=WrongShape())
         with pytest.raises(ValueError, match=r"\(3, B, W, C\)"):
             enc.token_probs([TEXTS[0].split()], LABELS)
+
+
+class TestBiEncoderSession:
+    """Bi-encoder ONNX surface (labels_embeddings input, reference
+    model.py:1746 + onnx/model.py:160-220): the driver-precomputed
+    label matrix rides every feed; no <<ENT>> prompt in the text."""
+
+    LB = ["person", "organization", "location"]
+
+    def _embs(self):
+        from gliner_spark.model.encoder import get_encoder
+
+        return get_encoder(64, 42).embed_labels(self.LB)
+
+    def test_feed_has_embeddings_and_no_prompt(self):
+        import numpy as np
+
+        from gliner_spark.model.onnx_backend import build_span_feed
+        from gliner_spark.model.subword import DeterministicSubwordTokenizer
+
+        tok = DeterministicSubwordTokenizer()
+        embs = self._embs()
+        feed, meta = build_span_feed(
+            [["alice", "works", "here"]], self.LB, tok, 12,
+            label_embeddings=embs,
+        )
+        assert meta.prompt_len == 0  # no <<ENT>> prompt prepended
+        assert feed["labels_embeddings"].dtype == np.float32  # export dtype
+        np.testing.assert_array_equal(
+            feed["labels_embeddings"], embs.astype(np.float32)
+        )
+        # prompted variant differs: longer input_ids (prompt words)
+        feed_uni, meta_uni = build_span_feed(
+            [["alice", "works", "here"]], self.LB, tok, 12,
+        )
+        assert meta_uni.prompt_len > 0
+        assert feed_uni["input_ids"].shape[1] > feed["input_ids"].shape[1]
+
+    def test_embeddings_are_consumed_not_decorative(self):
+        import numpy as np
+
+        from gliner_spark.model.pipeline import GLiNERPipeline, PipelineConfig
+        from gliner_spark.model.ort_testing import (
+            fake_biencoder_span_encoder_factory,
+        )
+
+        embs = self._embs()
+        text = "the spark engine reads the parquet table fast today"
+        a = GLiNERPipeline(
+            self.LB, [], PipelineConfig(threshold=0.4),
+            encoder=fake_biencoder_span_encoder_factory(),
+            label_embeddings=embs,
+        ).predict_entities(text)
+        b = GLiNERPipeline(
+            self.LB, [], PipelineConfig(threshold=0.4),
+            encoder=fake_biencoder_span_encoder_factory(),
+            label_embeddings=np.roll(embs, 1, axis=0),
+        ).predict_entities(text)
+        assert a != b
+
+    def test_missing_embeddings_raise(self):
+        import pytest as _pytest
+
+        from gliner_spark.model.pipeline import GLiNERPipeline, PipelineConfig
+        from gliner_spark.model.ort_testing import (
+            fake_biencoder_span_encoder_factory,
+        )
+
+        pipe = GLiNERPipeline(
+            self.LB, [], PipelineConfig(threshold=0.4),
+            encoder=fake_biencoder_span_encoder_factory(),
+        )
+        with _pytest.raises(ValueError, match="precomputed label"):
+            pipe.predict_entities("alice works at acme")
+
+    def test_uni_encoder_still_rejects_embeddings(self):
+        import pytest as _pytest
+
+        from gliner_spark.model.onnx_backend import OnnxSpanEncoder
+        from gliner_spark.model.pipeline import GLiNERPipeline, PipelineConfig
+        from gliner_spark.model.ort_testing import FakeSpanSession
+
+        with _pytest.raises(ValueError, match="bi-encoder surface"):
+            GLiNERPipeline(
+                self.LB, [], PipelineConfig(threshold=0.4),
+                encoder=OnnxSpanEncoder(session=FakeSpanSession()),
+                label_embeddings=self._embs(),
+            )
+
+    def test_batch_matches_per_doc(self):
+        from gliner_spark.model.pipeline import GLiNERPipeline, PipelineConfig
+        from gliner_spark.model.ort_testing import (
+            fake_biencoder_span_encoder_factory,
+        )
+        from gliner_spark.sources.pages import synth_pages
+
+        pipe = GLiNERPipeline(
+            self.LB, [], PipelineConfig(threshold=0.5),
+            encoder=fake_biencoder_span_encoder_factory(),
+            label_embeddings=self._embs(),
+        )
+        texts = [r["text"] for r in synth_pages(20)]
+        assert pipe.predict_entities_batch(texts) == [
+            pipe.predict_entities(t) for t in texts
+        ]

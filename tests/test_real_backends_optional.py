@@ -185,3 +185,98 @@ class TestRealTransformersTokenizer:
         nonzero = [int(x) for x in wm if x != 0]
         assert nonzero == [1, 2]
         assert meta.prompt_len == 3 and meta.word_counts == [2]
+
+
+def _build_biencoder_graph_session():
+    """Real ORT session over a hand-built graph with the BI-ENCODER
+    contract (gliner/model.py:1746): the span inputs PLUS a float32
+    labels_embeddings (C, D) input the logits analytically depend on —
+    logits[b,w,k,c] = grid[b,w,k] * sum(labels_embeddings[c]) - 2."""
+    onnx = pytest.importorskip("onnx")
+    ort = pytest.importorskip("onnxruntime")
+    from onnx import TensorProto, helper
+
+    def inp(name, shape, proto=TensorProto.INT64):
+        return helper.make_tensor_value_info(name, proto, shape)
+
+    inputs = [
+        inp("input_ids", ["B", "T"]),
+        inp("attention_mask", ["B", "T"]),
+        inp("words_mask", ["B", "T"]),
+        inp("text_lengths", ["B", 1]),
+        inp("span_idx", ["B", "S", 2]),
+        inp("span_mask", ["B", "S"]),
+        inp("labels_embeddings", ["C", "D"], TensorProto.FLOAT),
+    ]
+    out = helper.make_tensor_value_info(
+        "logits", TensorProto.FLOAT, ["B", "W", "K", "C"]
+    )
+    shape_const = helper.make_tensor(
+        "grid_shape", TensorProto.INT64, [4], [0, -1, MAX_WIDTH, 1]
+    )
+    two = helper.make_tensor("two", TensorProto.FLOAT, [], [2.0])
+    axes1 = helper.make_tensor("axes1", TensorProto.INT64, [1], [1])
+    nodes = [
+        helper.make_node("Reshape", ["span_mask", "grid_shape"], ["grid"]),
+        helper.make_node("Cast", ["grid"], ["gridf"], to=TensorProto.FLOAT),
+        helper.make_node(
+            "ReduceSum", ["labels_embeddings", "axes1"], ["lsum"], keepdims=0
+        ),
+        helper.make_node("Mul", ["gridf", "lsum"], ["scaled"]),
+        helper.make_node("Sub", ["scaled", "two"], ["logits"]),
+    ]
+    graph = helper.make_graph(
+        nodes, "biencoder_span", inputs, [out],
+        initializer=[shape_const, two, axes1],
+    )
+    model = helper.make_model(
+        graph, opset_imports=[helper.make_opsetid("", 17)]
+    )
+    onnx.checker.check_model(model)
+    return ort.InferenceSession(
+        model.SerializeToString(), providers=["CPUExecutionProvider"]
+    )
+
+
+class TestRealOnnxRuntimeBiEncoder:
+    """Bi-encoder feed contract over genuine ORT: the labels_embeddings
+    tensor type-checks (float32, dynamic C/D axes) and drives the
+    logits; the pipeline runs end-to-end with a driver-precomputed
+    label matrix."""
+
+    LB = ["person", "organization", "location"]
+
+    def test_feed_typechecks_and_embeddings_drive_logits(self):
+        from gliner_spark.model.onnx_backend import OnnxBiEncoderSpanEncoder
+
+        sess = _build_biencoder_graph_session()
+        enc = OnnxBiEncoderSpanEncoder(
+            session=sess, tokenizer=DeterministicSubwordTokenizer(),
+            max_width=MAX_WIDTH,
+        )
+        tokens = [["alice", "works", "at", "acme"]]
+        e1 = np.eye(3, 8, dtype=np.float64)           # row sums = 1 → logit -1
+        e2 = 3.0 * np.eye(3, 8, dtype=np.float64)     # row sums = 3 → logit  1
+        p1 = enc.span_probs(tokens, self.LB, label_embeddings=e1)[0]
+        p2 = enc.span_probs(tokens, self.LB, label_embeddings=e2)[0]
+        valid = p1 > sigmoid(np.float32(-2.0))  # grid==1 positions
+        assert valid.any()
+        np.testing.assert_allclose(p1[valid], sigmoid(np.float32(-1.0)), rtol=1e-6)
+        np.testing.assert_allclose(p2[valid], sigmoid(np.float32(1.0)), rtol=1e-6)
+
+    def test_pipeline_end_to_end_over_real_ort(self):
+        from gliner_spark.model.onnx_backend import OnnxBiEncoderSpanEncoder
+
+        sess = _build_biencoder_graph_session()
+        pipe = GLiNERPipeline(
+            self.LB, [], PipelineConfig(threshold=0.5),
+            encoder=OnnxBiEncoderSpanEncoder(
+                session=sess, tokenizer=DeterministicSubwordTokenizer(),
+                max_width=MAX_WIDTH,
+            ),
+            label_embeddings=3.0 * np.eye(3, 8),
+        )
+        ents = pipe.predict_entities("alice works at acme corporation")
+        assert ents  # every valid span scores sigmoid(1) > 0.5
+        for e in ents:
+            assert "alice works at acme corporation"[e["start"]:e["end"]] == e["text"]
