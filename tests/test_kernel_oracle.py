@@ -36,17 +36,27 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entry
 from gliner_spark.model.pipeline import GLiNERPipeline, PipelineConfig
 
-SF_DIR = "/root/testdata/sf0.001"
+# Two scale factors: sf0.001 and sf0.01 carry DIFFERENT generated text
+# (same row count), so the sf0.01 sweep guards against sf-specific
+# row-set degeneracy — a gate that only emits rows on one corpus, or a
+# kernel/distributed divergence that one text distribution masks
+# (round-3 verdict, next-round item #5).
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.fixture(scope="module", params=SF_DIRS, ids=["sf0.001", "sf0.01"])
+def sf_dir(request):
+    return request.param
 
 
 @pytest.fixture(scope="module")
-def docs():
-    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+def docs(sf_dir):
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return list(zip(pdf["doc_id"].astype(int), pdf["text"]))
 
 
-def _spark_rows(spark, name):
-    df = entry.queries()[name](spark, SF_DIR)
+def _spark_rows(spark, name, sf_dir):
+    df = entry.queries()[name](spark, sf_dir)
     return sorted(tuple(r) for r in df.collect())
 
 
@@ -90,36 +100,36 @@ def _assert_equal(got, want, min_rows=50):
 
 
 class TestEntityGates:
-    def test_zeroshot(self, spark, docs):
+    def test_zeroshot(self, spark, docs, sf_dir):
         pipe = GLiNERPipeline(entry.ENT_LABELS, [], PipelineConfig(threshold=0.5))
         _assert_equal(
-            _spark_rows(spark, "kg_entities_zeroshot"), _kernel_entities(docs, pipe)
+            _spark_rows(spark, "kg_entities_zeroshot", sf_dir), _kernel_entities(docs, pipe)
         )
 
-    def test_tokenmode(self, spark, docs):
+    def test_tokenmode(self, spark, docs, sf_dir):
         pipe = GLiNERPipeline(
             entry.ENT_LABELS, [], PipelineConfig(threshold=0.4, mode="token")
         )
         _assert_equal(
-            _spark_rows(spark, "kg_entities_tokenmode"), _kernel_entities(docs, pipe)
+            _spark_rows(spark, "kg_entities_tokenmode", sf_dir), _kernel_entities(docs, pipe)
         )
 
-    def test_convspan(self, spark, docs):
+    def test_convspan(self, spark, docs, sf_dir):
         pipe = GLiNERPipeline(
             entry.ENT_LABELS, [],
             PipelineConfig(threshold=0.55, span_mode="conv_mean"),
         )
         _assert_equal(
-            _spark_rows(spark, "kg_entities_convspan"), _kernel_entities(docs, pipe)
+            _spark_rows(spark, "kg_entities_convspan", sf_dir), _kernel_entities(docs, pipe)
         )
 
-    def test_rnn(self, spark, docs):
+    def test_rnn(self, spark, docs, sf_dir):
         pipe = GLiNERPipeline(
             entry.ENT_LABELS, [],
             PipelineConfig(threshold=0.55, num_rnn_layers=1),
         )
         _assert_equal(
-            _spark_rows(spark, "kg_entities_rnn"), _kernel_entities(docs, pipe)
+            _spark_rows(spark, "kg_entities_rnn", sf_dir), _kernel_entities(docs, pipe)
         )
 
 
@@ -131,7 +141,7 @@ class TestEntityGates:
 
 
 class TestSessionGates:
-    def test_entities_onnx(self, spark, docs):
+    def test_entities_onnx(self, spark, docs, sf_dir):
         from gliner_spark.model.ort_testing import fake_span_encoder_factory
 
         pipe = GLiNERPipeline(
@@ -139,10 +149,10 @@ class TestSessionGates:
             encoder=fake_span_encoder_factory(),
         )
         _assert_equal(
-            _spark_rows(spark, "kg_entities_onnx"), _kernel_entities(docs, pipe)
+            _spark_rows(spark, "kg_entities_onnx", sf_dir), _kernel_entities(docs, pipe)
         )
 
-    def test_entities_tokenmode_onnx(self, spark, docs):
+    def test_entities_tokenmode_onnx(self, spark, docs, sf_dir):
         from gliner_spark.model.ort_testing import fake_token_encoder_factory
 
         pipe = GLiNERPipeline(
@@ -150,11 +160,11 @@ class TestSessionGates:
             encoder=fake_token_encoder_factory(),
         )
         _assert_equal(
-            _spark_rows(spark, "kg_entities_tokenmode_onnx"),
+            _spark_rows(spark, "kg_entities_tokenmode_onnx", sf_dir),
             _kernel_entities(docs, pipe),
         )
 
-    def test_entities_biencoder_onnx(self, spark, docs):
+    def test_entities_biencoder_onnx(self, spark, docs, sf_dir):
         """Bi-encoder ONNX contract: driver-precomputed label matrix
         rides every feed (labels_embeddings input, no prompt)."""
         from gliner_spark.model.encoder import get_encoder
@@ -169,11 +179,11 @@ class TestSessionGates:
             label_embeddings=embs,
         )
         _assert_equal(
-            _spark_rows(spark, "kg_entities_biencoder_onnx"),
+            _spark_rows(spark, "kg_entities_biencoder_onnx", sf_dir),
             _kernel_entities(docs, pipe),
         )
 
-    def test_triples_onnx(self, spark, docs):
+    def test_triples_onnx(self, spark, docs, sf_dir):
         from gliner_spark.model.ort_testing import fake_relex_encoder_factory
 
         pipe = GLiNERPipeline(
@@ -181,10 +191,10 @@ class TestSessionGates:
             encoder=fake_relex_encoder_factory(),
         )
         _assert_equal(
-            _spark_rows(spark, "kg_triples_onnx"), _kernel_triples(docs, pipe)
+            _spark_rows(spark, "kg_triples_onnx", sf_dir), _kernel_triples(docs, pipe)
         )
 
-    def test_triples_tokenmode_onnx(self, spark, docs):
+    def test_triples_tokenmode_onnx(self, spark, docs, sf_dir):
         """Token-relex ONNX contract (token inputs, relex outputs,
         in-graph candidate proposal): batched session sub-batches on
         executors vs per-document kernel calls on the driver."""
@@ -196,7 +206,7 @@ class TestSessionGates:
             encoder=fake_token_relex_encoder_factory(),
         )
         _assert_equal(
-            _spark_rows(spark, "kg_triples_tokenmode_onnx"),
+            _spark_rows(spark, "kg_triples_tokenmode_onnx", sf_dir),
             _kernel_triples(docs, pipe),
         )
 
@@ -207,16 +217,16 @@ class TestSessionGates:
 
 
 class TestTripleGates:
-    def test_triples_zeroshot(self, spark, docs):
+    def test_triples_zeroshot(self, spark, docs, sf_dir):
         pipe = GLiNERPipeline(
             entry.ENT_LABELS, entry.RELATIONS, PipelineConfig(threshold=0.5),
             gazetteer=entry.GAZ_FULL, patterns=entry.PATTERNS,
         )
         _assert_equal(
-            _spark_rows(spark, "kg_triples_zeroshot"), _kernel_triples(docs, pipe)
+            _spark_rows(spark, "kg_triples_zeroshot", sf_dir), _kernel_triples(docs, pipe)
         )
 
-    def test_triples_tokenmode(self, spark, docs):
+    def test_triples_tokenmode(self, spark, docs, sf_dir):
         """Token-mode JOINT relex (UniEncoderTokenRelexGLiNER analog):
         distributed mapInPandas vs the Spark-free kernel, full row-set
         equality incl. char offsets and bit-identical scores."""
@@ -240,16 +250,16 @@ class TestTripleGates:
                         float(r["score"]),
                     )
                 )
-        _assert_equal(_spark_rows(spark, "kg_triples_tokenmode"), sorted(rows))
+        _assert_equal(_spark_rows(spark, "kg_triples_tokenmode", sf_dir), sorted(rows))
 
-    def test_triples_adjmode_gcn(self, spark, docs):
+    def test_triples_adjmode_gcn(self, spark, docs, sf_dir):
         pipe = GLiNERPipeline(
             entry.ENT_LABELS, entry.RELATIONS,
             PipelineConfig(threshold=0.5, relations_mode="gcn"),
             gazetteer=entry.GAZ_FULL, patterns=entry.PATTERNS,
         )
         want = _kernel_triples(docs, pipe)
-        _assert_equal(_spark_rows(spark, "kg_triples_adjmode_gcn"), want)
+        _assert_equal(_spark_rows(spark, "kg_triples_adjmode_gcn", sf_dir), want)
         # and the gate must differ from the bilinear default somewhere,
         # or the mode knob isn't actually reaching the adjacency head
         bilinear = GLiNERPipeline(
@@ -265,12 +275,12 @@ class TestTripleGates:
 
 
 class TestKgeRankedGate:
-    def test_kge_ranked(self, spark, docs):
+    def test_kge_ranked(self, spark, docs, sf_dir):
         from gliner_spark.model.encoder import get_encoder
         from gliner_spark.model.kge import score_triples_np
         from gliner_spark.operators.kge_scores import _embed_batch
 
-        got = _spark_rows(spark, "kg_triples_kge_ranked")
+        got = _spark_rows(spark, "kg_triples_kge_ranked", sf_dir)
 
         # kernel: gazetteer-mode triples (the q_kg_triples config) ...
         pipe = GLiNERPipeline(
@@ -328,7 +338,7 @@ def _fold_dot(a, b):
 
 
 class TestIvfGate:
-    def test_ann_ivf(self, spark):
+    def test_ann_ivf(self, spark, sf_dir):
         """ivf_topk with pinned centroids vs a pure-numpy replica of
         assignment → multi-probe → exact cosine → deterministic rank.
 
@@ -339,7 +349,7 @@ class TestIvfGate:
         """
         from gliner_spark.operators.similarity import ivf_topk, train_ivf_centroids
 
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         cents = train_ivf_centroids(emb, n_centroids=8, seed=42, max_iter=8)
         queries = emb.where(F.col("vec_id") < entry.ANN_NQ)
         got = sorted(
@@ -349,7 +359,7 @@ class TestIvfGate:
             ).collect()
         )
 
-        pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
         ids = pdf["vec_id"].to_numpy()
         X = np.stack(pdf["embedding"].to_list()).astype(np.float64)
         d = (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
