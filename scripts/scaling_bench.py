@@ -156,6 +156,70 @@ def measure_ceiling(n_small: int, n_big: int) -> dict:
     return out
 
 
+def measure_streaming_neardup(n_epochs: int | None = None) -> list:
+    """State-growth evidence for the incremental cross-epoch near-dup
+    (streaming/neardup.py) — the 100 TB question the batch runs don't
+    answer: does the persisted band state stay linear in SURVIVORS
+    (not in processed docs), and does per-epoch wall time stay flat as
+    the state accumulates?
+
+    Protocol: the first half of the epochs feed DISTINCT permuted
+    replicas (everything should survive → state grows linearly); the
+    second half REPLAYS the first half's text under fresh doc ids
+    (everything should drop → state stays flat, proving the cross-epoch
+    probe works and dropped docs add nothing to state)."""
+    import shutil
+    import time as _time
+
+    import bench
+    from pyspark.sql import functions as F
+
+    from gliner_spark.streaming.neardup import (
+        STATE_SCHEMA,
+        incremental_minhash_dedup,
+    )
+
+    state = os.path.join(SCALED_DIR, "neardup_state")
+    shutil.rmtree(state, ignore_errors=True)
+    spark = bench.build_session(8)
+    docs = spark.read.parquet(f"{SCALED_DIR}/documents.parquet")
+    E = n_epochs or min(REPLICAS, 8)
+    half = E // 2
+    rows = []
+    for e in range(E):
+        r = e if e < half else e - half  # second half replays first half
+        batch = docs.where(
+            (F.col("doc_id") / 1000000).cast("int") == r
+        ).select(
+            (F.col("doc_id") + F.lit(e * 100_000_000)).cast("string").alias("url"),
+            "text",
+        )
+        n_batch = batch.count()
+        t0 = _time.perf_counter()
+        kept = incremental_minhash_dedup(batch, state, epoch=e)
+        n_kept = kept.count()
+        wall = _time.perf_counter() - t0
+        n_state = spark.read.schema(STATE_SCHEMA).parquet(state).count()
+        n_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fs in os.walk(state)
+            for f in fs
+        )
+        rows.append(
+            {
+                "epoch": e,
+                "replay": e >= half,
+                "batch_docs": n_batch,
+                "kept": n_kept,
+                "state_rows": n_state,
+                "state_mb": round(n_bytes / 1e6, 2),
+                "sec": round(wall, 2),
+            }
+        )
+    spark.stop()
+    return rows
+
+
 def run_at(cpus: int) -> dict:
     code = RUNNER.format(repo=REPO, sf_dir=SCALED_DIR, jobs=JOBS)
     proc = subprocess.run(
@@ -207,6 +271,8 @@ def main():
         rows.append(
             f"| {name} | {t_s:.2f} | {t_b:.2f} | {tput_s:.0f} | {tput_b:.0f} | {eff:.2f} | {eff_vs_hw:.2f} |"
         )
+    if os.environ.get("SPARK_GRAFT_STREAMING", "1") == "1":
+        report["streaming_neardup"] = measure_streaming_neardup()
     print(json.dumps(report))
     md = [
         "",
@@ -225,6 +291,26 @@ def main():
         "|---|---|---|---|---|---|---|",
         *rows,
     ]
+    if "streaming_neardup" in report:
+        srows = report["streaming_neardup"]
+        md += [
+            "",
+            "### Streaming near-dup state growth (incremental_minhash_dedup)",
+            "",
+            "First half: distinct permuted replicas (state should grow",
+            "linearly with survivors). Second half: REPLAYS the first",
+            "half's text under fresh ids (everything should drop; state",
+            "flat — dropped docs contribute nothing).",
+            "",
+            "| epoch | replay | batch | kept | state rows | state MB | sec |",
+            "|---|---|---|---|---|---|---|",
+            *[
+                f"| {r['epoch']} | {'yes' if r['replay'] else 'no'} | "
+                f"{r['batch_docs']} | {r['kept']} | {r['state_rows']} | "
+                f"{r['state_mb']} | {r['sec']} |"
+                for r in srows
+            ],
+        ]
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write("\n".join(md) + "\n")
 
