@@ -63,7 +63,10 @@ class TestContract:
             "kg_triples_adjmode_gcn",
             "kg_entities_onnx",
             "kg_entities_tokenmode_onnx",
+            "kg_entities_biencoder_onnx",
             "kg_triples_onnx",
+            "kg_triples_tokenmode",
+            "kg_triples_tokenmode_onnx",
             "kg_triples_kge_ranked",
             "ann_ivf",
         }
