@@ -41,7 +41,11 @@ from gliner_spark.operators.dedup import (
     segment_dedup,
     simhash_pairs,
 )
-from gliner_spark.operators.extract import extract_entities, extract_triples
+from gliner_spark.operators.extract import (
+    extract_entities,
+    extract_entities_generative,
+    extract_triples,
+)
 from gliner_spark.operators.multimodal import media_metadata
 from gliner_spark.operators.multitask import (
     answer_questions,
@@ -89,6 +93,17 @@ PATTERNS = [
     ("technology", "executes", "operation"),
 ]
 RELATIONS = [p[1] for p in PATTERNS]
+
+# Constraint set for the generative-label gate: the trie restricts
+# generation to these strings, so the gate asserts real constrained
+# decoding (every emitted gen label ∈ this closed set).
+GEN_CONSTRAINTS = [
+    "famous person",
+    "business organization",
+    "geographic location",
+    "consumer product",
+    "historic event",
+]
 PATTERN_DIST = 10
 
 # Multitask-pipeline fixtures (gazetteer mode → SQL-checkable)
@@ -223,6 +238,30 @@ def q_kg_entities_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_rnn_layers=1,
     )
     return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
+
+
+def q_kg_entities_genlabels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generative label decoding (M15/D10 — the encoder-decoder family,
+    reference model.py:2066-2345): trie-constrained generation attaches
+    ``num_gen_sequences`` generated type strings per confident span.
+    Rows-only at the driver (learned-LM analog); exact distributed-vs-
+    kernel row-set equality in tests/test_kernel_oracle.py."""
+    ents = extract_entities_generative(
+        _pages(spark, sf_dir),
+        labels=ENT_LABELS,
+        threshold=0.5,
+        lang_col=None,
+        gazetteer=GAZ_FULL,
+        gen_constraints=GEN_CONSTRAINTS,
+        num_gen_sequences=2,
+    )
+    return (
+        _as_doc_id(ents)
+        .select(
+            "doc_id", "start", "end", "text", "label", "score",
+            F.concat_ws("|", "generated_labels").alias("gen_labels"),
+        )
+    )
 
 
 def q_kg_triples_adjmode_gcn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gazetteer_entities": q_kg_gazetteer_entities,
         "kg_entities_zeroshot": q_kg_entities_zeroshot,
         "kg_entities_tokenmode": q_kg_entities_tokenmode,
+        "kg_entities_genlabels": q_kg_entities_genlabels,
         "kg_entities_convspan": q_kg_entities_convspan,
         "kg_entities_rnn": q_kg_entities_rnn,
         "kg_triples_adjmode_gcn": q_kg_triples_adjmode_gcn,

@@ -8,6 +8,7 @@ distributed pipeline's per-row outputs match the reference's.
 from .tokenization import word_tokenize, WORD_PATTERN, splitter_for_lang
 from .spans import prepare_span_idx, make_mapping
 from .prompts import build_entity_prompt, build_relex_prompt, ENT_TOKEN, SEP_TOKEN, REL_TOKEN
+from .labels_trie import LabelsTrie
 from .decoding import (
     Span,
     has_overlapping,
@@ -29,6 +30,7 @@ from .packing import (
 )
 
 __all__ = [
+    "LabelsTrie",
     "word_tokenize",
     "WORD_PATTERN",
     "splitter_for_lang",

@@ -22,6 +22,11 @@ swapping backends never changes decode semantics.
 
 from .api import SparkGLiNER
 from .encoder import DeterministicEncoder, get_encoder
+from .generative import (
+    GenerativeLabelDecoder,
+    LabelTokenizer,
+    build_labels_trie,
+)
 from .onnx_backend import OnnxRelexEncoder, OnnxSpanEncoder, build_span_feed
 from .pipeline import GLiNERPipeline, PipelineConfig
 from .subword import DeterministicSubwordTokenizer, HFSubwordTokenizer
@@ -29,6 +34,9 @@ from .subword import DeterministicSubwordTokenizer, HFSubwordTokenizer
 OnnxEncoder = OnnxSpanEncoder  # back-compat alias (pre-round-2 name)
 
 __all__ = [
+    "GenerativeLabelDecoder",
+    "LabelTokenizer",
+    "build_labels_trie",
     "DeterministicEncoder",
     "DeterministicSubwordTokenizer",
     "HFSubwordTokenizer",

@@ -429,6 +429,129 @@ class GLiNERPipeline:
         )
         return map_spans_to_char(spans, text, starts, ends)
 
+    # ------------------------------------------------------------------
+    def _generative_decoder(self, constraints):
+        """Lazily-built deterministic generative head, cached per
+        constraint set (the decoder tokenizer's closed vocabulary is
+        labels ∪ constraints)."""
+        from .generative import GenerativeLabelDecoder, LabelTokenizer
+
+        key = tuple(constraints or ())
+        cache = getattr(self, "_gen_decoders", None)
+        if cache is None:
+            cache = self._gen_decoders = {}
+        dec = cache.get(key)
+        if dec is None:
+            vocab_labels = list(self.labels) + list(constraints or ())
+            dec = GenerativeLabelDecoder(self.encoder, LabelTokenizer(vocab_labels))
+            cache[key] = dec
+        return dec
+
+    def predict_entities_generative(
+        self,
+        text: str,
+        lang: str = "en",
+        threshold: Optional[float] = None,
+        decoder_mode: str = "span",
+        gen_constraints: Optional[Sequence[str]] = None,
+        num_gen_sequences: int = 1,
+        max_new_tokens: int = 15,
+    ) -> List[Dict[str, Any]]:
+        """Entities with GENERATED type labels (M15/D10) — the
+        encoder-decoder family's inference (model.py:2166-2321).
+
+        ``decoder_mode`` follows config.decoder_mode semantics
+        (decoding/decoder.py:403-614):
+
+        * ``"span"``  — confident spans (the select_span_decoder_embedding
+          keep rule, base.py:1356-1374: sigmoid(score).max > threshold,
+          flat L*K packing order) each get ``num_gen_sequences``
+          generated label strings attached as ``generated_labels``;
+        * ``"prompt"`` — one label is generated per PROMPT CLASS from
+          its label embedding and REPLACES the class name in
+          id_to_classes (decoder.py:415-444); entities carry the
+          generated name as their ``label``.
+
+        ``gen_constraints`` builds the labels trie (model.py:2107-2131)
+        so every generated string is a member of the constraint set.
+        This family is ONNX-incompatible in the reference too
+        (model.py:2322-2345) — session backends are rejected.
+        """
+        if self.is_session_backend:
+            raise NotImplementedError(
+                "generative label decoding is ONNX-incompatible "
+                "(reference model.py:2322-2345 raises on export); use the "
+                "deterministic bi-encoder backend"
+            )
+        if not isinstance(text, str) or not text.strip():
+            return []
+        thr = self.config.threshold if threshold is None else threshold
+        tokens, starts, ends = self._prepare(text, lang)
+        if not tokens:
+            return []
+        probs, span_reps = self._score_spans(tokens)
+        probs = self._apply_gazetteer(probs, text, starts, ends)
+        L, K, _C = probs.shape
+        dec = self._generative_decoder(gen_constraints)
+
+        from .generative import build_span_label_map, updated_id_to_classes
+
+        id_to_class = self.id_to_class
+        span_label_map: Dict[int, List[str]] = {}
+        if decoder_mode == "prompt":
+            # decoder input = prompt (class) embeddings, one generated
+            # name per class, num_return_sequences=1 (decoder.py:452)
+            gen = dec.generate_labels(
+                self.label_embs,
+                constraints=gen_constraints,
+                num_return_sequences=1,
+                max_new_tokens=max_new_tokens,
+            )
+            id_to_class = updated_id_to_classes(self.id_to_class, gen)
+        elif decoder_mode == "span":
+            flat_probs = probs.reshape(L * K, -1)
+            sidx = span_idx_array(L, K)
+            valid = sidx[:, 1] < len(tokens)
+            keep = (flat_probs.max(axis=1) > thr) & valid
+            packed_idx = np.nonzero(keep)[0]  # flat packing order
+            if len(packed_idx):
+                if span_reps is None:
+                    packed_reps = self.encoder.span_representations_tokens(
+                        tokens, sidx[packed_idx]
+                    )
+                else:
+                    packed_reps = span_reps[packed_idx]
+                gen = dec.generate_labels(
+                    packed_reps,
+                    constraints=gen_constraints,
+                    num_return_sequences=num_gen_sequences,
+                    max_new_tokens=max_new_tokens,
+                )
+                span_label_map = build_span_label_map(
+                    packed_idx, gen, num_gen_sequences
+                )
+        else:
+            raise ValueError(f"unknown decoder_mode: {decoder_mode!r}")
+
+        spans = decode_span_probs(
+            probs,
+            tokens,
+            id_to_class,
+            threshold=thr,
+            flat_ner=self.config.flat_ner,
+            multi_label=self.config.multi_label,
+        )
+        entities = map_spans_to_char(spans, text, starts, ends)
+        if decoder_mode == "span":
+            # flat_idx = start * K + width addresses the pre-greedy
+            # packed list (decoder.py:492-527 _build_span_tuple)
+            for span, ent in zip(spans, entities):
+                flat_idx = span.start * K + (span.end - span.start)
+                labels = span_label_map.get(flat_idx)
+                if labels is not None:
+                    ent["generated_labels"] = labels
+        return entities
+
     @staticmethod
     def _to_word_spans(input_spans, starts, ends):
         """CHAR spans → WORD spans via exact-boundary reverse maps,

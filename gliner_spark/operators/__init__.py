@@ -38,7 +38,13 @@ from .evaluation import (
     relex_micro_prf,
     weighted_prf,
 )
-from .extract import ENTITY_SCHEMA, TRIPLE_SCHEMA, extract_entities, extract_triples
+from .extract import (
+    ENTITY_SCHEMA,
+    TRIPLE_SCHEMA,
+    extract_entities,
+    extract_entities_generative,
+    extract_triples,
+)
 from .kge_scores import score_triples
 from .linking import link_mentions
 from .multimodal import decode_media, frame_sample, media_metadata
@@ -70,6 +76,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "exact_duplicates",
     "extract_entities",
+    "extract_entities_generative",
     "extract_triples",
     "frame_sample",
     "ivf_topk",

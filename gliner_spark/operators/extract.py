@@ -269,6 +269,77 @@ def extract_entities(
     )
 
 
+def extract_entities_generative(
+    df: DataFrame,
+    labels: Sequence[str],
+    threshold: float = 0.5,
+    decoder_mode: str = "span",
+    gen_constraints: Optional[Sequence[str]] = None,
+    num_gen_sequences: int = 1,
+    max_new_tokens: int = 15,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: Optional[str] = "lang",
+    gazetteer: Optional[dict] = None,
+    min_partitions: Optional[int] = None,
+    **cfg_kwargs,
+) -> DataFrame:
+    """Entity extraction with GENERATED type labels (M15/D10 — the
+    encoder-decoder family, reference model.py:2066-2345).
+
+    ``decoder_mode="span"`` appends ``generated_labels array<string>``
+    (``num_gen_sequences`` strings per confident span, trie-constrained
+    to ``gen_constraints`` when given); ``decoder_mode="prompt"``
+    REPLACES each entity's ``label`` with the label generated for its
+    prompt class (``generated_labels`` stays null — the reference's
+    prompt mode keeps span_label_map empty, decoder.py:577-581).
+
+    Same distribution story as ``extract_entities``: zero shuffles, one
+    Arrow-batched mapInPandas; the generative head is a per-worker
+    deterministic singleton and the labels trie is rebuilt from the
+    (tiny) constraint list inside the pipeline cache, not shipped as
+    state. This family is ONNX-incompatible in the reference
+    (model.py:2322-2345) — there is deliberately no encoder_factory
+    knob here.
+    """
+    labels = list(labels)
+    gen_constraints = list(gen_constraints) if gen_constraints else None
+    cfg = dict(threshold=threshold)
+    cfg.update(cfg_kwargs)
+    has_lang = lang_col is not None and lang_col in df.columns
+    cols = [url_col, text_col] + ([lang_col] if has_lang else [])
+    out_cols = [
+        "url", "start", "end", "text", "label", "score", "generated_labels",
+    ]
+    schema = ENTITY_SCHEMA + ", generated_labels array<string>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pipe = _get_pipeline(labels, [], cfg, gazetteer=gazetteer)
+        for pdf in batches:
+            rows: List[tuple] = []
+            langs = list(pdf[lang_col]) if has_lang else ["en"] * len(pdf)
+            for url, text, lang in zip(pdf[url_col], pdf[text_col], langs):
+                for e in pipe.predict_entities_generative(
+                    text,
+                    lang,
+                    decoder_mode=decoder_mode,
+                    gen_constraints=gen_constraints,
+                    num_gen_sequences=num_gen_sequences,
+                    max_new_tokens=max_new_tokens,
+                ):
+                    rows.append(
+                        (
+                            url, e["start"], e["end"], e["text"], e["label"],
+                            float(e["score"]), e.get("generated_labels"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return _ensure_parallelism(df.select(*cols), min_partitions).mapInPandas(
+        run, schema
+    )
+
+
 def extract_triples(
     df: DataFrame,
     labels: Sequence[str],

@@ -58,6 +58,7 @@ class TestContract:
             "kg_entities_zeroshot",
             "kg_triples_zeroshot",
             "kg_entities_tokenmode",
+            "kg_entities_genlabels",
             "kg_entities_convspan",
             "kg_entities_rnn",
             "kg_triples_adjmode_gcn",

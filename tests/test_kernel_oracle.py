@@ -123,6 +123,36 @@ class TestEntityGates:
             _spark_rows(spark, "kg_entities_convspan", sf_dir), _kernel_entities(docs, pipe)
         )
 
+    def test_genlabels(self, spark, docs, sf_dir):
+        """M15/D10 generative label decoding: the distributed gate's
+        rows (incl. the trie-constrained generated strings) must equal
+        the single-process kernel's bit-for-bit."""
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [], PipelineConfig(threshold=0.5),
+            gazetteer=entry.GAZ_FULL,
+        )
+        rows = []
+        for doc_id, text in docs:
+            for e in pipe.predict_entities_generative(
+                text, "en", gen_constraints=entry.GEN_CONSTRAINTS,
+                num_gen_sequences=2,
+            ):
+                rows.append(
+                    (
+                        doc_id, e["start"], e["end"], e["text"], e["label"],
+                        float(e["score"]),
+                        "|".join(e.get("generated_labels") or []),
+                    )
+                )
+        got = _spark_rows(spark, "kg_entities_genlabels", sf_dir)
+        _assert_equal(got, sorted(rows))
+        # non-vacuity: the generated strings vary across spans and are
+        # all members of the closed constraint set
+        gens = {r[-1] for r in got}
+        assert len(gens) > 1
+        allowed = set(entry.GEN_CONSTRAINTS)
+        assert all(part in allowed for g in gens for part in g.split("|"))
+
     def test_rnn(self, spark, docs, sf_dir):
         pipe = GLiNERPipeline(
             entry.ENT_LABELS, [],

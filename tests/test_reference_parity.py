@@ -245,6 +245,13 @@ class _NT:
 
         return _NT(self.a.astype(np.int64))
 
+    # -- surface for _build_span_label_map_for_batch (decoder.py:446) --
+    def __ne__(self, other):
+        return _NT(self.a != self._u(other))
+
+    def sum(self, dim=None):
+        return _NT(self.a.sum(axis=dim))
+
     def cumsum(self, dim):
         return _NT(self.a.cumsum(axis=dim))
 
@@ -941,3 +948,61 @@ class TestTokenSplitterParity:
             "tabs\tand  double  spaces",
         ):
             assert list(ws(text)) == list(tk._regex_splitter(text))
+
+
+class TestGenerativeBookkeepingParity:
+    """M15/D10 bookkeeping differential: the reference's
+    SpanGenerativeDecoder._build_span_label_map_for_batch and
+    _update_id_to_classes_with_generated (decoding/decoder.py:415-490)
+    EXECUTED under the numpy shim vs our single-document kernels
+    (gliner_spark/model/generative.py)."""
+
+    def test_span_label_map_batch_differential(self, ref_decoder_live):
+        import random
+
+        from gliner_spark.model.generative import build_span_label_map
+
+        cls = ref_decoder_live.SpanGenerativeDecoder
+        rng = random.Random(20260817)
+        for _ in range(40):
+            B = rng.randrange(1, 4)
+            M = rng.randrange(1, 6)
+            n_seq = rng.randrange(1, 4)
+            sel = []
+            for _b in range(B):
+                n_valid = rng.randrange(0, M + 1)
+                row = sorted(rng.sample(range(50), n_valid)) + [-1] * (M - n_valid)
+                sel.append(row)
+            total = sum(1 for row in sel for v in row if v != -1)
+            gen_labels = [f"lab{i}" for i in range(total * n_seq)]
+            ref_maps = cls._build_span_label_map_for_batch(
+                None, _NT(sel), gen_labels, n_seq
+            )
+            # ours is per-document: replicate the reference's cursor walk
+            cursor = 0
+            for b in range(B):
+                valid = [v for v in sel[b] if v != -1]
+                ours = build_span_label_map(
+                    valid,
+                    gen_labels[cursor * n_seq : (cursor + len(valid)) * n_seq],
+                    n_seq,
+                )
+                assert ours == ref_maps[b], (sel, b)
+                cursor += len(valid)
+
+    def test_update_id_to_classes_differential(self, ref_decoder_live):
+        from gliner_spark.model.generative import updated_id_to_classes
+
+        cls = ref_decoder_live.SpanGenerativeDecoder
+        id_to_classes = [
+            {1: "person", 2: "org", 3: "loc"},
+            {1: "person", 2: "org", 3: "loc"},
+        ]
+        gen = [f"g{i}" for i in range(6)]
+        ref_out = cls._update_id_to_classes_with_generated(None, id_to_classes, gen, 2)
+        cursor = 0
+        for b in range(2):
+            k = len(id_to_classes[b])
+            ours = updated_id_to_classes(id_to_classes[b], gen[cursor : cursor + k])
+            assert ours == ref_out[b]
+            cursor += k
