@@ -190,21 +190,43 @@ class GenerativeLabelDecoder:
         max_new_tokens: int = 15,
     ) -> List[str]:
         """Flat list of generated label strings, row-major —
-        ``len == B * num_return_sequences`` (model.py:2133-2162)."""
-        trie = (
-            build_labels_trie(constraints, self.tokenizer)
-            if constraints
-            else None
-        )
+        ``len == B * num_return_sequences`` (model.py:2133-2162).
+
+        The generated sequences are a pure function of (prefix vector,
+        constraint set, n, budget), and markerV0 span reps repeat
+        heavily on Zipf-distributed corpora (same start/end token pair
+        → same rep), so results are memoized per prefix-vector bytes —
+        a hit skips the whole beam loop, bit-identically. The trie is
+        likewise built once per constraint tuple."""
+        ckey = tuple(constraints) if constraints else None
+        tries = getattr(self, "_trie_cache", None)
+        if tries is None:
+            tries = self._trie_cache = {}
+        trie = tries.get(ckey)
+        if trie is None and ckey is not None:
+            trie = tries[ckey] = build_labels_trie(constraints, self.tokenizer)
+        cache = getattr(self, "_gen_cache", None)
+        if cache is None:
+            cache = self._gen_cache = {}
         out: List[str] = []
         for row in np.atleast_2d(prefix_vecs):
-            for ids in self.generate(
-                row,
-                max_new_tokens=max_new_tokens,
-                trie=trie,
-                num_return_sequences=num_return_sequences,
-            ):
-                out.append(self.tokenizer.decode(ids))
+            key = (row.tobytes(), ckey, num_return_sequences, max_new_tokens)
+            labels = cache.get(key)
+            if labels is None:
+                labels = [
+                    self.tokenizer.decode(ids)
+                    for ids in self.generate(
+                        row,
+                        max_new_tokens=max_new_tokens,
+                        trie=trie,
+                        num_return_sequences=num_return_sequences,
+                    )
+                ]
+                if len(cache) >= 500_000:  # bound executor memory:
+                    for k in list(cache)[: len(cache) // 2]:  # evict oldest half
+                        del cache[k]
+                cache[key] = labels
+            out.extend(labels)
         return out
 
 
