@@ -48,12 +48,26 @@ def _band_rows(
     bands: int,
 ) -> DataFrame:
     """(id, band_idx, band_sig) — the same salted-md5 minhash bands as
-    the batch operator (operators/dedup.minhash_lsh_pairs)."""
+    the batch operator (operators/dedup.minhash_lsh_pairs).
+
+    Docs shorter than the shingle width get ONE synthetic band
+    ``(-1, md5(text))``: they can't participate in minhash, but a
+    byte-identical short text IS the strongest possible duplicate, and
+    at web scale identical stub/boilerplate pages recur endlessly — with
+    no band at all they would be kept every single epoch. band_idx -1
+    can never collide with a real band (those are 0..bands-1), so this
+    only ever matches exact text."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rpb = num_hashes // bands
+    shingle_arr = shingles(F.col(text_col), n)
+    short_bands = df.where(F.size(shingle_arr) == 0).select(
+        F.col(id_col).alias("_id"),
+        F.lit(-1).alias("band_idx"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("band_sig"),
+    )
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(shingle_arr).alias("shingle"),
     )
     hash_cols = [
         F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
@@ -73,7 +87,7 @@ def _band_rows(
         )
     return sig.select(
         "_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("_id", "b.band_idx", "b.band_sig")
+    ).select("_id", "b.band_idx", "b.band_sig").unionByName(short_bands)
 
 
 def incremental_minhash_dedup(
@@ -126,10 +140,11 @@ def incremental_minhash_dedup(
         .select("_id")
         .distinct()
     )
-    # Survivors start from the BATCH id set, not the band rows: a doc
-    # shorter than n words yields zero shingles, hence zero band rows —
-    # it can never collide, so it must always survive. (Deriving from
-    # my_bands silently dropped every short/empty doc.)
+    # Survivors start from the BATCH id set, not the band rows, so any
+    # doc that produces no rows still survives by default. (Short docs
+    # now carry a synthetic exact-text band — see _band_rows — so a
+    # byte-identical short text CAN be dropped as a dup; a UNIQUE short
+    # doc still always survives, which is what the r3 fix guaranteed.)
     batch_ids = batch_df.select(F.col(id_col).alias("_id")).distinct()
     keep_ids = (
         batch_ids

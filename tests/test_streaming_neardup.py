@@ -71,9 +71,10 @@ class TestIncrementalNearDup:
         assert {r.owner for r in st.select("owner").distinct().collect()} == {"u1"}
 
     def test_short_docs_survive(self, spark, tmp_path):
-        """Docs shorter than the shingle width yield zero band rows —
-        they can never collide, so they must ALWAYS survive (the r3 bug
-        silently dropped every short/empty doc as if it were a dup)."""
+        """UNIQUE docs shorter than the shingle width must always
+        survive (the r3 bug silently dropped every short/empty doc);
+        since r4 they carry a synthetic exact-text band, so only a
+        byte-IDENTICAL short text is dropped as a duplicate."""
         state = str(tmp_path / "state")
         b = _batch(
             spark,
@@ -81,11 +82,28 @@ class TestIncrementalNearDup:
         )
         kept = incremental_minhash_dedup(b, state, epoch=0, n=3)
         assert sorted(r.url for r in kept.collect()) == ["u1", "u2", "u3", "u4"]
-        # and they keep surviving across epochs (no stale state effect)
-        b1 = _batch(spark, [("u5", "only two"), ("u6", BASE)])
+        # unique short text keeps surviving across epochs
+        b1 = _batch(spark, [("u5", "two only"), ("u6", BASE)])
         kept1 = incremental_minhash_dedup(b1, state, epoch=1, n=3)
         got = sorted(r.url for r in kept1.collect())
         assert "u5" in got and "u6" not in got  # u6 near-dups epoch-0's u3
+
+    def test_identical_short_text_is_dropped(self, spark, tmp_path):
+        """Byte-identical short/empty texts ARE duplicates: min id wins
+        within an epoch, earlier owner wins across epochs, and a REPLAY
+        of the same doc id stays idempotent (owner check)."""
+        state = str(tmp_path / "state")
+        b0 = _batch(spark, [("a1", "only two"), ("a2", "only two"), ("a3", "")])
+        kept0 = incremental_minhash_dedup(b0, state, epoch=0, n=3)
+        assert sorted(r.url for r in kept0.collect()) == ["a1", "a3"]
+        # cross-epoch: same text under a NEW id drops; empty matches empty
+        b1 = _batch(spark, [("b1", "only two"), ("b2", "")])
+        kept1 = incremental_minhash_dedup(b1, state, epoch=1, n=3)
+        assert [r.url for r in kept1.collect()] == []
+        # replay of epoch 0 (same ids): survivors unchanged — no
+        # self-collision with their own prior state
+        keptR = incremental_minhash_dedup(b0, state, epoch=0, n=3)
+        assert sorted(r.url for r in keptR.collect()) == ["a1", "a3"]
 
     def test_agrees_with_batch_lsh_candidates(self, spark, tmp_path):
         """The streaming drop set must equal the batch operator's LSH
