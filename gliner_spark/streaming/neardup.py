@@ -16,7 +16,15 @@ Design points:
   compromise (verification would need the historical shingle sets).
   Tune precision/recall with (num_hashes, bands) exactly like the
   batch operator; the batch ``minhash_lsh_pairs`` remains the exact
-  route for offline passes.
+  route for offline passes. A second, measured consequence: no
+  TRANSITIVE closure is chased. In a within-epoch chain A~B~C (bands
+  link A-B and B-C only), the min-id rule can drop both B and C while
+  persisting only A; a later re-crawl of the same texts under new ids
+  can then re-admit C (its bands match nothing persisted, and the new
+  ids may flip the within-epoch minimum). Measured at 1 doc in 5000
+  (0.02%) per replayed epoch on the scaling-bench corpus — see
+  BENCH.md "Replay-epoch survivor diagnosis". Component-closed dedup
+  is the batch route (minhash_lsh_pairs → connected_components).
 * **Replay-safe**: state rows carry the owning doc id, and a doc is
   dropped only when the colliding band belongs to a DIFFERENT doc —
   so a replayed epoch's docs never self-collide with their own
