@@ -115,8 +115,18 @@ def ngram_jaccard_pairs(
         )
     else:
         sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Join on the 64-bit hash of the shingle, not the string: the
+    # self-join shuffles every (id, shingle) row twice, and a 3-word
+    # shingle string is 20-40 bytes vs 8 for the hash — a 3-4× shuffle-
+    # byte cut that grows with corpus size (measured ~12% wall even at
+    # sf0.1, where the explode dominates). An xxhash64 collision
+    # (P ≈ pairs/2^64) would count one phantom shared shingle for one
+    # doc pair — far below the jaccard threshold's resolution; the
+    # minhash route is the explicitly-approximate one, this stays the
+    # "exact" route to within hash-collision odds.
+    sh_j = sh.select("_id", F.xxhash64("shingle").alias("shingle"))
+    a = sh_j.alias("a")
+    b = sh_j.alias("b")
     inter = (
         a.join(b, on="shingle")
         .where(F.col("a._id") < F.col("b._id"))
