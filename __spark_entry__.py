@@ -54,7 +54,10 @@ from gliner_spark.operators.multitask import (
     prompt_mode_relations,
     summarize_documents,
 )
+from gliner_spark.operators.graph_stats import degree_stats, pagerank
+from gliner_spark.operators.sessions import sessionize
 from gliner_spark.operators.similarity import brute_force_topk, bucketed_topk
+from gliner_spark.plans.skew import skew_profile
 
 # ---------------------------------------------------------------------------
 # Shared constants (Spark side and SQL oracle side use the same values)
@@ -124,6 +127,13 @@ JACCARD_T = 0.5
 JACCARD_MAXDF = 2
 SEGMENT_K = 10  # k-word segments for sub-document (C4-style) dedup
 DECONTAM_N = 8  # n-gram width for train/test decontamination
+
+# graph-analytics / corpus-profiling gate constants (shared by both sides)
+SKEW_TARGET_ROWS = 25  # rows-per-partition target for per-key salt factors
+SESSION_GAP_S = 7200  # inactivity gap that splits user sessions
+PR_ITERS = 3  # unrolled integer-PageRank iterations
+PR_DAMPING = 85  # damping as integer percent
+PR_SCALE = 1_000_000  # fixed-point scale (rank 1.0 == 1e6)
 DECONTAM_EVAL_MAX_ID = 20  # docs with doc_id < this act as the "eval set"
 COSINE_T = 0.45
 SIMHASH_BITS = 32
@@ -804,6 +814,35 @@ def q_events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity degree over the extracted KG (hub/skew profiling)."""
+    return degree_stats(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the extracted triple graph."""
+    tr = q_kg_triples(spark, sf_dir)
+    edges = tr.select(
+        F.col("subj_text").alias("src"), F.col("obj_text").alias("dst")
+    )
+    return pagerank(
+        edges, iterations=PR_ITERS, damping_pct=PR_DAMPING, scale=PR_SCALE
+    )
+
+
+def q_corpus_skew_salts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) row counts, corpus share, and salt factors."""
+    return skew_profile(
+        _docs(spark, sf_dir), keys=("source", "lang"), target_rows=SKEW_TARGET_ROWS
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessionization of the event stream."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_seconds=SESSION_GAP_S)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_gazetteer_entities": q_kg_gazetteer_entities,
@@ -851,6 +890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "media_metadata": q_media_metadata,
         "events_window_stats": q_events_window_stats,
+        "kg_degree_stats": q_kg_degree_stats,
+        "kg_pagerank": q_kg_pagerank,
+        "corpus_skew_salts": q_corpus_skew_salts,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -896,6 +939,48 @@ ents AS (
   FROM toks t JOIN gaz g ON t.tok = g.term
 )
 """
+
+
+def _triples_ctes() -> str:
+    """Shared CTE chain ending in tr(doc_id, subj_text, pred, obj_text) —
+    the gazetteer triple table the graph-analytics oracles aggregate."""
+    pat_rows = ", ".join(f"('{h}', '{r}', '{t}')" for h, r, t in PATTERNS)
+    return f"""{_TOKS_CTE.strip().rstrip(',')},
+{_ents_cte(GAZ_FULL).strip().lstrip()},
+pat AS (SELECT * FROM (VALUES {pat_rows}) AS p(head, rel, tail)),
+tr AS (
+  SELECT a.doc_id, a.text AS subj_text, p.rel AS pred, b.text AS obj_text
+  FROM ents a
+  JOIN ents b ON a.doc_id = b.doc_id AND a.w != b.w
+  JOIN pat p ON p.head = a.label AND p.tail = b.label
+  WHERE abs(a.w - b.w) <= {PATTERN_DIST}
+)"""
+
+
+def _pagerank_sql() -> str:
+    """Unrolled integer-PageRank oracle mirroring operators.graph_stats."""
+    base = (100 - PR_DAMPING) * PR_SCALE // 100
+    parts = [
+        f"""WITH {_triples_ctes()},
+edges AS (SELECT DISTINCT subj_text AS src, obj_text AS dst FROM tr),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outd AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+c{k} AS (SELECT e.dst AS node, SUM(r{k - 1}.r // o.d) AS c
+     FROM edges e JOIN r{k - 1} ON r{k - 1}.node = e.src
+     JOIN outd o ON o.src = e.src GROUP BY e.dst),
+r{k} AS (SELECT n.node,
+       CAST({base} + ({PR_DAMPING} * COALESCE(c{k}.c, 0)) // 100 AS BIGINT) AS r
+     FROM nodes n LEFT JOIN c{k} ON c{k}.node = n.node)"""
+        )
+    parts.append(
+        f"\nSELECT node AS entity, r AS rank_fp FROM r{PR_ITERS}"
+    )
+    return "".join(parts)
 
 
 _SHINGLE_CTE = """
@@ -1445,5 +1530,39 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        max(value) AS vmax
 FROM events
 GROUP BY 1, 2
+""",
+        "kg_degree_stats": f"""
+WITH {_triples_ctes()},
+o AS (SELECT subj_text AS entity, COUNT(*) AS out_deg FROM tr GROUP BY subj_text),
+i AS (SELECT obj_text AS entity, COUNT(*) AS in_deg FROM tr GROUP BY obj_text)
+SELECT COALESCE(o.entity, i.entity) AS entity,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(i.in_deg, 0) AS in_deg,
+       COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS degree
+FROM o FULL OUTER JOIN i ON o.entity = i.entity
+""",
+        "kg_pagerank": _pagerank_sql(),
+        "corpus_skew_salts": f"""
+SELECT source, lang, COUNT(*) AS n_rows,
+       (COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS share_ppm,
+       (COUNT(*) + {SKEW_TARGET_ROWS - 1}) // {SKEW_TARGET_ROWS} AS salt_buckets
+FROM documents GROUP BY source, lang
+""",
+        "events_sessionize": f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+x AS (SELECT user_id, ts_ms, event_id,
+        CASE WHEN LAG(ts_ms) OVER w IS NULL
+               OR ts_ms - LAG(ts_ms) OVER w > {SESSION_GAP_S * 1000}
+        THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+s AS (SELECT user_id, ts_ms,
+        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM x)
+SELECT user_id, session_id,
+       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+       COUNT(*) AS n_events,
+       MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+FROM s GROUP BY user_id, session_id
 """,
     }

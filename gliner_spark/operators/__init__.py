@@ -15,6 +15,8 @@ carries its scale design notes and reference citations):
   decontaminate train/test decontamination (eval-n-gram flag/drop)
   corpus       combined keep-list (quality + dedup + decontamination verdicts)
   similarity   brute-force, sign-bucketed, and KMeans-IVF top-k
+  graph_stats  degree statistics + fixed-point integer PageRank over triples
+  sessions     gap-based event sessionization (one-shuffle window plan)
   multimodal   binary media columns: metadata, stubbed decode, frames
 """
 
@@ -47,7 +49,9 @@ from .extract import (
 )
 from .kge_scores import score_triples
 from .linking import link_mentions
+from .graph_stats import degree_stats, pagerank
 from .multimodal import decode_media, frame_sample, media_metadata
+from .sessions import sessionize
 from .multitask import (
     answer_questions,
     classify_documents,
@@ -72,6 +76,7 @@ __all__ = [
     "corpus_keep_list",
     "decode_media",
     "decontaminate",
+    "degree_stats",
     "docred_string_f1",
     "embedding_cosine_pairs",
     "exact_duplicates",
@@ -87,12 +92,14 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "open_extract",
+    "pagerank",
     "per_label_prf",
     "prompt_mode_relations",
     "relex_micro_prf",
     "sample_train_mix",
     "score_triples",
     "segment_dedup",
+    "sessionize",
     "simhash_pairs",
     "simhash_table",
     "summarize_documents",

@@ -1,0 +1,81 @@
+"""Gap-based sessionization of event streams.
+
+A web-corpus KG pipeline ingests crawler/interaction event logs next to
+the page table; turning a raw event stream into per-user sessions is
+the standard first aggregation (it also mirrors the reference's eval
+grouping of predictions per document before micro-P/R/F1,
+gliner/evaluation/evaluate_ner.py:97 — group, then aggregate within
+the group).
+
+Design for scale: ONE shuffle, on ``user_col`` — verified by the plan
+shape test (exactly one Exchange in the executed plan). The lag/gap
+flag and the running session counter are windows over the same
+(partitionBy user, orderBy ts) spec, so Catalyst plans a single
+Exchange + Sort; the final groupBy's keys (user, session) are a
+superset of the window partitioning key, so its ClusteredDistribution
+is already satisfied and the aggregation (partial + final) runs with
+no second exchange.
+
+Determinism: tie-breaking orders by (ts, id_col); durations and gap
+comparisons use epoch MILLISECONDS as BIGINTs, so the DuckDB oracle
+(epoch_ms) reproduces every value bit-exactly — no float time math.
+
+Skew note: a bot user with 10^8 events makes one hot window partition.
+The standard fix is pre-splitting such users by a coarse time bucket
+(day) before the window and stitching sessions across bucket
+boundaries; at the tested scales the plain window is the right plan,
+and the hot-key split is left to the caller's salting policy
+(gliner_spark.plans.skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 7200,
+) -> DataFrame:
+    """Split each user's events into sessions at gaps > ``gap_seconds``.
+
+    Returns one row per (user, session):
+    (user_id, session_id, session_start_ms, session_end_ms, n_events,
+    duration_ms) — session_id is 1-based in event-time order.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # Parquet event timestamps are naive (TIMESTAMP_NTZ); diff against the
+    # NTZ epoch to get ms without any session-timezone dependence. (An LTZ
+    # input is first cast to NTZ via the session tz — documented caveat.)
+    ms = F.expr(
+        f"timestampdiff(MILLISECOND, to_timestamp_ntz('1970-01-01 00:00:00'), "
+        f"cast({ts_col} as timestamp_ntz))"
+    )
+    gap_ms = gap_seconds * 1000
+    with_break = events.select(
+        F.col(user_col).alias("user_id"),
+        ms.alias("ts_ms"),
+        F.col(id_col).alias("_id"),
+        F.when(
+            (ms - F.lag(ms).over(w)).isNull()
+            | ((ms - F.lag(ms).over(w)) > F.lit(gap_ms)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = with_break.withColumn("session_id", F.sum("brk").over(w2))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )

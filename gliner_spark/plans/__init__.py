@@ -1,7 +1,12 @@
 """Execution-plan helpers: session tuning, skew handling, lineage/resume."""
 
 from .session import build_session
-from .skew import salted_repartition, length_bucketed
+from .skew import (
+    adaptive_salted_repartition,
+    length_bucketed,
+    salted_repartition,
+    skew_profile,
+)
 from .manifest import RunManifest
 
 __all__ = ["build_session", "salted_repartition", "length_bucketed", "RunManifest"]

@@ -43,3 +43,71 @@ def salted_repartition(
 def length_bucketed(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Sort within partitions by text length (no shuffle)."""
     return df.sortWithinPartitions(F.length(F.col(text_col)))
+
+
+def skew_profile(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("source", "lang"),
+    target_rows: int = 100_000,
+) -> DataFrame:
+    """Measure per-key skew and derive a per-key salt factor.
+
+    ``salted_repartition`` above uses one GLOBAL salt_buckets; at
+    Common-Crawl skew (a 10^4× hot domain next to 10^5 one-page
+    domains) that either under-splits the hot key or shatters the cold
+    ones into empty partitions. This profiler computes, per key group:
+
+      n_rows       exact row count
+      share_ppm    n_rows * 1e6 DIV total (integer parts-per-million)
+      salt_buckets ceil(n_rows / target_rows), i.e. the number of salt
+                   partitions needed so no task owns more than
+                   ~target_rows rows of one key
+
+    Cost: one map-side-combined groupBy of (keys) — the shuffle moves
+    one row per distinct key per task, never the corpus. The window
+    computing ``total`` runs over the AGGREGATED frame (|distinct
+    keys| rows), so its single-partition sort is bounded by key
+    cardinality, not data size; for >10^7 distinct keys swap it for a
+    scalar agg + broadcast cross-join.
+
+    All outputs are integer arithmetic (floor division), so a SQL
+    oracle reproduces them exactly.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    return counts.select(
+        *keys,
+        "n_rows",
+        F.expr("(n_rows * 1000000L) div sum(n_rows) over ()").alias("share_ppm"),
+        F.expr(f"(n_rows + {target_rows - 1}L) div {target_rows}L").alias(
+            "salt_buckets"
+        ),
+    )
+
+
+def adaptive_salted_repartition(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "url",
+    target_rows: int = 100_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition with a PER-KEY salt factor from ``skew_profile``.
+
+    The (small) profile is broadcast-joined onto the corpus — no extra
+    corpus shuffle beyond the repartition itself — and each row gets
+    ``__salt = pmod(hash(id), salt_buckets(key))``: hot keys spread
+    over exactly as many partitions as their volume needs, cold keys
+    stay whole (salt_buckets = 1 → __salt = 0, preserving downstream
+    per-key locality).
+    """
+    profile = skew_profile(df, keys=keys, target_rows=target_rows).select(
+        *keys, "salt_buckets"
+    )
+    out = df.join(F.broadcast(profile), on=list(keys))
+    salt = F.pmod(F.hash(F.col(id_col)), F.col("salt_buckets")).alias("__salt")
+    key_cols = [F.col(k) for k in keys]
+    if num_partitions:
+        out = out.repartition(num_partitions, *key_cols, salt)
+    else:
+        out = out.repartition(*key_cols, salt)
+    return out.drop("salt_buckets")

@@ -24,6 +24,10 @@ FAST_SUBSET = [
     "text_fingerprint",
     "media_metadata",
     "kg_linking_exact",
+    "kg_degree_stats",
+    "kg_pagerank",
+    "corpus_skew_salts",
+    "events_sessionize",
 ]
 
 

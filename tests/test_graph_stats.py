@@ -1,0 +1,102 @@
+"""Graph analytics over the triple table: degrees + integer PageRank.
+
+PageRank semantics checked against an independent pure-Python
+fixed-point implementation (same integer recurrence), plus structural
+invariants: rank conservation bounds, dangling nodes at base rank,
+hub-dominance ordering, determinism across partitionings.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.graph_stats import degree_stats, pagerank
+
+SCALE = 1_000_000
+DAMP = 85
+BASE = (100 - DAMP) * SCALE // 100
+
+
+def py_pagerank(edges, iterations=3, damping=DAMP, scale=SCALE):
+    """Reference recurrence, dict-based."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    r = {n: scale for n in nodes}
+    base = (100 - damping) * scale // 100
+    for _ in range(iterations):
+        c = {n: 0 for n in nodes}
+        for s, d in e:
+            c[d] += r[s] // out[s]
+        r = {n: base + damping * c[n] // 100 for n in nodes}
+    return r
+
+
+TOY = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+
+
+class TestPagerank:
+    def test_matches_python_reference(self, spark):
+        df = spark.createDataFrame(TOY, ["src", "dst"])
+        got = {r["entity"]: r["rank_fp"] for r in pagerank(df).collect()}
+        assert got == py_pagerank(TOY)
+
+    def test_duplicate_edges_collapse(self, spark):
+        """PR is defined on the graph: repeating an edge changes nothing."""
+        df = spark.createDataFrame(TOY + TOY[:3], ["src", "dst"])
+        got = {r["entity"]: r["rank_fp"] for r in pagerank(df).collect()}
+        assert got == py_pagerank(TOY)
+
+    def test_dangling_sink_keeps_mass_out(self, spark):
+        """'d' has no in-edges: rank is exactly the base term."""
+        df = spark.createDataFrame(TOY, ["src", "dst"])
+        got = {r["entity"]: r["rank_fp"] for r in pagerank(df).collect()}
+        assert got["d"] == BASE
+
+    def test_hub_ranks_highest(self, spark):
+        """A star graph: everyone points at the hub."""
+        star = [(f"leaf{i}", "hub") for i in range(10)]
+        df = spark.createDataFrame(star, ["src", "dst"])
+        got = {r["entity"]: r["rank_fp"] for r in pagerank(df).collect()}
+        assert got["hub"] == max(got.values())
+        assert all(got[f"leaf{i}"] == BASE for i in range(10))
+
+    def test_partitioning_invariance(self, spark):
+        """Integer fixed-point: identical ranks at any parallelism."""
+        df = spark.createDataFrame(TOY, ["src", "dst"])
+        a = sorted(map(tuple, pagerank(df.repartition(1)).collect()))
+        b = sorted(map(tuple, pagerank(df.repartition(7)).collect()))
+        assert a == b
+
+    def test_iterations_zero_is_uniform(self, spark):
+        df = spark.createDataFrame(TOY, ["src", "dst"])
+        got = {r["entity"]: r["rank_fp"] for r in pagerank(df, iterations=0).collect()}
+        assert set(got.values()) == {SCALE}
+
+    def test_bad_damping_raises(self, spark):
+        df = spark.createDataFrame(TOY, ["src", "dst"])
+        with pytest.raises(ValueError):
+            pagerank(df, damping_pct=101)
+
+
+class TestDegreeStats:
+    def test_counts_multiplicity(self, spark):
+        tr = spark.createDataFrame(
+            [("a", "r1", "b"), ("a", "r2", "b"), ("b", "r1", "c")],
+            ["subj_text", "pred", "obj_text"],
+        )
+        got = {r["entity"]: r for r in degree_stats(tr).collect()}
+        assert got["a"]["out_deg"] == 2 and got["a"]["in_deg"] == 0
+        assert got["b"]["out_deg"] == 1 and got["b"]["in_deg"] == 2
+        assert got["c"]["degree"] == 1
+        # full-outer: source-only and sink-only entities both present
+        assert set(got) == {"a", "b", "c"}
+
+    def test_degree_is_sum(self, spark):
+        tr = spark.createDataFrame(
+            [("a", "r", "b"), ("b", "r", "a")], ["subj_text", "pred", "obj_text"]
+        )
+        for r in degree_stats(tr).collect():
+            assert r["degree"] == r["out_deg"] + r["in_deg"]

@@ -195,3 +195,56 @@ class TestKgeScorePlanShape:
         for r in rows:
             by_key.setdefault((r.subj_text, r.pred, r.obj_text), set()).add(r.kge_score)
         assert all(len(v) == 1 for v in by_key.values())
+
+
+class TestRound4GraphOpsPlanShapes:
+    """Late round-4 operators: graph analytics, sessionization, and the
+    adaptive salting must keep scale-safe shapes."""
+
+    def test_sessionize_single_exchange(self, spark):
+        """ONE shuffle total: both windows share (partitionBy user) and
+        the final (user, session) groupBy's ClusteredDistribution is
+        satisfied by the window's partitioning — no second exchange."""
+        import datetime as dt
+
+        from gliner_spark.operators.sessions import sessionize
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 7)],
+            "event_id long, ts timestamp_ntz, user_id long",
+        )
+        plan = formatted_plan(sessionize(ev))
+        # formatted mode prints each node once in the tree ("Exchange (3)")
+        # and once in the detail section — count tree occurrences only
+        assert plan.count("Exchange (") == 1, plan
+
+    def test_pagerank_no_cartesian_all_equi_joins(self, spark):
+        from gliner_spark.operators.graph_stats import pagerank
+
+        edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+        plan = formatted_plan(pagerank(edges, iterations=2))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_adaptive_salting_broadcasts_profile(self, spark):
+        """The per-key salt-factor profile joins onto the corpus as a
+        broadcast hash join — the corpus is never sort-merge shuffled
+        for the profile lookup."""
+        from gliner_spark.plans.skew import adaptive_salted_repartition
+
+        df = spark.createDataFrame(
+            [("u1", "hot", "en"), ("u2", "cold", "de")],
+            ["url", "source", "lang"],
+        )
+        plan = formatted_plan(adaptive_salted_repartition(df))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_skew_profile_window_runs_on_aggregated_rows(self, spark):
+        """The share-of-total window must sit ABOVE the groupBy in the
+        plan (operating on one row per key), never over the raw corpus."""
+        from gliner_spark.plans.skew import skew_profile
+
+        df = spark.createDataFrame([("a", "en")] * 5, ["source", "lang"])
+        plan = formatted_plan(skew_profile(df))
+        assert plan.index("Window") < plan.index("HashAggregate"), plan

@@ -60,3 +60,49 @@ class TestSaltedRepartition:
             by_pid.setdefault(r.pid, []).append(r.len)
         for pid, lens in by_pid.items():
             assert lens == sorted(lens), pid
+
+
+class TestSkewProfile:
+    def test_counts_and_salt_factors(self, spark):
+        from gliner_spark.plans.skew import skew_profile
+
+        df = spark.createDataFrame(
+            [("hot", "en")] * 90 + [("cold", "de")] * 10, ["source", "lang"]
+        )
+        prof = {
+            (r["source"], r["lang"]): r
+            for r in skew_profile(df, target_rows=25).collect()
+        }
+        hot = prof[("hot", "en")]
+        cold = prof[("cold", "de")]
+        assert (hot["n_rows"], hot["share_ppm"], hot["salt_buckets"]) == (
+            90, 900_000, 4,  # ceil(90/25)
+        )
+        assert (cold["n_rows"], cold["share_ppm"], cold["salt_buckets"]) == (
+            10, 100_000, 1,
+        )
+
+    def test_adaptive_salting_splits_only_hot_keys(self, spark):
+        """Hot key spreads over >1 partition; a cold key (salt=1) stays
+        in exactly one partition — preserving downstream locality."""
+        from gliner_spark.plans.skew import adaptive_salted_repartition
+
+        rows = [(f"u{i}", "hot", "en") for i in range(400)] + [
+            (f"v{i}", "cold", "de") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["url", "source", "lang"])
+        out = adaptive_salted_repartition(
+            df, keys=("source", "lang"), id_col="url", target_rows=50,
+            num_partitions=8,
+        ).withColumn("pid", F.spark_partition_id())
+        hot_parts = (
+            out.where(F.col("source") == "hot").select("pid").distinct().count()
+        )
+        cold_parts = (
+            out.where(F.col("source") == "cold").select("pid").distinct().count()
+        )
+        assert hot_parts >= 3  # 8 salt buckets over 8 partitions
+        assert cold_parts == 1
+        # no rows lost or duplicated, salt column dropped
+        assert out.count() == 410
+        assert "__salt" not in df.columns and "salt_buckets" not in out.columns
