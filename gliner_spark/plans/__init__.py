@@ -9,4 +9,11 @@ from .skew import (
 )
 from .manifest import RunManifest
 
-__all__ = ["build_session", "salted_repartition", "length_bucketed", "RunManifest"]
+__all__ = [
+    "RunManifest",
+    "adaptive_salted_repartition",
+    "build_session",
+    "length_bucketed",
+    "salted_repartition",
+    "skew_profile",
+]
