@@ -1,0 +1,96 @@
+"""Streaming session windows: watermark finalization + batch parity."""
+
+import datetime as dt
+import random
+
+from gliner_spark.operators.sessions import sessionize
+from gliner_spark.streaming.sessions import streaming_sessionize
+
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long"
+T0 = dt.datetime(2024, 1, 1)
+GAP_S = 3600
+
+
+def make_events(seed=7, users=5, per_user=40):
+    """Seeded event history: inter-arrival gaps drawn from values well
+    away from the exact gap boundary (see the boundary-semantics note
+    in streaming/sessions.py)."""
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    for u in range(users):
+        t = 0
+        for _ in range(per_user):
+            t += rng.choice([10, 100, 1000, 5000])
+            rows.append((eid, T0 + dt.timedelta(seconds=t), u))
+            eid += 1
+    return rows
+
+
+def drain(spark, src, out, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    sessions = streaming_sessionize(
+        stream, gap_seconds=GAP_S, watermark="1 hour"
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out)
+
+
+KEY = ["user_id", "session_start_ms", "session_end_ms", "n_events", "duration_ms"]
+
+
+class TestStreamingSessionize:
+    def test_matches_batch_after_watermark_flush(self, spark, tmp_path):
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        rows = make_events()
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+
+        got1 = drain(spark, src, out, ckpt)
+        n1 = got1.count()
+
+        # sentinel events far in the future advance the watermark past
+        # every real session's close; their own sessions stay open and
+        # are never emitted
+        max_ts = max(r[1] for r in rows)
+        sentinels = [
+            (10_000 + u, max_ts + dt.timedelta(days=30), u) for u in range(5)
+        ]
+        spark.createDataFrame(sentinels, SCHEMA).write.mode("append").parquet(src)
+        got2 = drain(spark, src, out, ckpt)
+
+        streamed = {tuple(r) for r in got2.select(*KEY).collect()}
+        batch_df = sessionize(
+            spark.createDataFrame(rows, SCHEMA), gap_seconds=GAP_S
+        )
+        batch = {tuple(r) for r in batch_df.select(*KEY).collect()}
+        assert streamed == batch
+        assert len(streamed) > 5  # multiple sessions per user actually split
+        # the first drain already finalized everything the watermark allowed
+        assert n1 < len(streamed)
+
+    def test_open_sessions_held_back_by_watermark(self, spark, tmp_path):
+        """Events newer than (max ts - watermark) belong to sessions the
+        engine must NOT emit yet."""
+        src = str(tmp_path / "in2")
+        out = str(tmp_path / "out2")
+        ckpt = str(tmp_path / "ckpt2")
+        rows = [
+            (1, T0, 1),
+            (2, T0 + dt.timedelta(seconds=10), 1),
+            # second session, 3h later — within 1h watermark of max ts
+            (3, T0 + dt.timedelta(hours=3), 1),
+        ]
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+        got = drain(spark, src, out, ckpt)
+        recs = got.collect()
+        assert len(recs) == 1  # only the first, watermark-closed session
+        assert recs[0]["n_events"] == 2
