@@ -73,6 +73,8 @@ def skew_profile(
     All outputs are integer arithmetic (floor division), so a SQL
     oracle reproduces them exactly.
     """
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
     return counts.select(
         *keys,

@@ -106,3 +106,12 @@ class TestSkewProfile:
         # no rows lost or duplicated, salt column dropped
         assert out.count() == 410
         assert "__salt" not in df.columns and "salt_buckets" not in out.columns
+
+    def test_bad_target_raises(self, spark):
+        from gliner_spark.plans.skew import skew_profile
+
+        df = spark.createDataFrame([("a", "en")], ["source", "lang"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            skew_profile(df, target_rows=0)
