@@ -40,10 +40,17 @@ from ..model.kge import score_triples_np
 # the same few thousand entity strings word by word in Python.
 _SURFACE_CACHE: dict = {}
 _SURFACE_CACHE_MAX = 2_000_000
+# executor singletons live for the worker's whole life: bound the number
+# of per-(dim, seed) sub-caches too (each can hold _SURFACE_CACHE_MAX
+# vectors), mirroring the encoder._score_cache fix from round-3 advice
+_SURFACE_CACHE_KEYS_MAX = 32
 
 
 def _embed_batch(enc, texts) -> np.ndarray:
-    cache = _SURFACE_CACHE.setdefault((enc.dim, enc.seed), {})
+    key = (enc.dim, enc.seed)
+    if key not in _SURFACE_CACHE and len(_SURFACE_CACHE) >= _SURFACE_CACHE_KEYS_MAX:
+        _SURFACE_CACHE.pop(next(iter(_SURFACE_CACHE)))  # FIFO-evict oldest
+    cache = _SURFACE_CACHE.setdefault(key, {})
     if len(cache) > _SURFACE_CACHE_MAX:
         # partial eviction (oldest half, dict preserves insertion
         # order): a wholesale clear() made above-cap vocabularies
