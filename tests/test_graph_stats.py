@@ -100,3 +100,20 @@ class TestDegreeStats:
         )
         for r in degree_stats(tr).collect():
             assert r["degree"] == r["out_deg"] + r["in_deg"]
+
+
+class TestPagerankRandomized:
+    def test_random_digraph_matches_python(self, spark):
+        """60-node seeded random digraph, ranks must be bit-identical to
+        the pure-Python fixed-point recurrence."""
+        import random
+
+        rng = random.Random(20240817)
+        nodes = [f"n{i}" for i in range(60)]
+        edges = list({
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+        })
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["entity"]: r["rank_fp"] for r in pagerank(df, iterations=4).collect()}
+        want = py_pagerank(edges, iterations=4)
+        assert got == want

@@ -56,3 +56,46 @@ class TestSessionize:
         (row,) = run(spark, rows, gap=100)
         _, _, start_ms, end_ms, n, dur = row
         assert (end_ms - start_ms, n, dur) == (70_000, 3, 70_000)
+
+
+class TestSessionizeRandomized:
+    def test_random_stream_matches_python(self, spark):
+        """400 seeded events, mixed users, gaps straddling the threshold
+        (but never exactly on it) — full tuple equality vs the
+        pure-Python reference."""
+        import random
+
+        rng = random.Random(99)
+        rows, eid = [], 0
+        for user in range(8):
+            t = rng.randint(0, 500)
+            for _ in range(50):
+                t += rng.choice([1, 40, 99, 101, 250, 1000])
+                rows.append((eid, T0 + dt.timedelta(seconds=t), user))
+                eid += 1
+        got = run(spark, rows, gap=100)
+        # py reference uses UTC epoch; T0 is naive → timestamp() applies
+        # local tz, but the test compares Spark's NTZ epoch math, so
+        # normalize via a fixed epoch base instead
+        base = dt.datetime(1970, 1, 1)
+        want = []
+
+        def ms(ts):
+            return int((ts - base).total_seconds() * 1000)
+        by_user = {}
+        for e, ts, u in rows:
+            by_user.setdefault(u, []).append((ts, e))
+        for u, evs in by_user.items():
+            evs.sort()
+            sessions, cur = [], [evs[0]]
+            for prev, nxt in zip(evs, evs[1:]):
+                if (ms(nxt[0]) - ms(prev[0])) > 100_000:
+                    sessions.append(cur)
+                    cur = [nxt]
+                else:
+                    cur.append(nxt)
+            sessions.append(cur)
+            for sid, sess in enumerate(sessions, start=1):
+                m = [ms(t) for t, _ in sess]
+                want.append((u, sid, min(m), max(m), len(sess), max(m) - min(m)))
+        assert got == sorted(want)
