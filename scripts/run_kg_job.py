@@ -44,6 +44,13 @@ def parse_args():
         help="materialize the graph table partitioned by (chunk, pred) "
         "and append per-predicate lineage rows (sinks.graph contract)",
     )
+    p.add_argument(
+        "--analytics", action="store_true",
+        help="after the (resumed) run, write degree stats and integer "
+        "PageRank over the FULL committed triple table to <out>_degrees "
+        "and <out>_pagerank (overwrite — derived tables, recompute is "
+        "the idempotent story)",
+    )
     return p.parse_args()
 
 
@@ -108,6 +115,24 @@ def main():
         )
         lineage.write.mode("append").parquet(f"{args.out}_lineage")
         summary["preds"] = lineage.count()
+    if args.analytics:
+        # derived graph tables over EVERYTHING committed so far (this
+        # run's chunks + resumed history): integer math, so a re-run
+        # overwrites with identical bytes at any parallelism
+        from pyspark.sql import functions as F
+
+        from gliner_spark.operators.graph_stats import degree_stats, pagerank
+
+        triples = spark.read.parquet(args.out)
+        deg = degree_stats(triples)
+        deg.write.mode("overwrite").parquet(f"{args.out}_degrees")
+        pr = pagerank(
+            triples.select(
+                F.col("subj_text").alias("src"), F.col("obj_text").alias("dst")
+            )
+        )
+        pr.write.mode("overwrite").parquet(f"{args.out}_pagerank")
+        summary["analytics_entities"] = deg.count()
     print(json.dumps(summary))
     spark.stop()
 

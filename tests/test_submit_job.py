@@ -84,9 +84,10 @@ class TestSubmit:
         man8 = str(tmp_path / "manifest8")
         big = submit(
             "r8", master="local[8]", out_dir=out8, man_dir=man8,
-            flags=("--partition-by-pred",),
+            flags=("--partition-by-pred", "--analytics"),
         )
         assert big["chunks_run"] == 2 and big.get("preds", 0) >= 1
+        assert big.get("analytics_entities", 0) >= 1
         big_df = spark.read.parquet(out8)
         cols = sorted(set(got.columns) & set(big_df.columns))
         rows_small = sorted(map(tuple, got.select(*cols).collect()))
@@ -101,3 +102,24 @@ class TestSubmit:
         assert {r.pred for r in lin.collect()} == {
             r.pred for r in big_df.select("pred").distinct().collect()
         }
+
+        # --analytics derived tables: degrees + integer PageRank over
+        # the committed triples, recomputable and parallelism-invariant
+        deg = spark.read.parquet(out8 + "_degrees")
+        ents = {r.subj_text for r in big_df.select("subj_text").collect()} | {
+            r.obj_text for r in big_df.select("obj_text").collect()
+        }
+        assert {r.entity for r in deg.collect()} == ents
+        pr = spark.read.parquet(out8 + "_pagerank")
+        assert {r.entity for r in pr.collect()} == ents
+        from gliner_spark.operators.graph_stats import pagerank as pr_op
+        from pyspark.sql import functions as F
+
+        local = pr_op(
+            big_df.select(
+                F.col("subj_text").alias("src"), F.col("obj_text").alias("dst")
+            )
+        )
+        assert sorted(map(tuple, pr.collect())) == sorted(
+            map(tuple, local.collect())
+        )
