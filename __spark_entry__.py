@@ -30,6 +30,7 @@ from gliner_spark.functions.text import (
     lang_id_column,
     quality_columns,
     regex_token_count,
+    top_terms,
     word_count,
 )
 from gliner_spark.operators.canonicalize import connected_components
@@ -129,6 +130,7 @@ SEGMENT_K = 10  # k-word segments for sub-document (C4-style) dedup
 DECONTAM_N = 8  # n-gram width for train/test decontamination
 
 # graph-analytics / corpus-profiling gate constants (shared by both sides)
+TOP_TERMS_K = 20  # heavy-hitter vocabulary depth per language
 SKEW_TARGET_ROWS = 25  # rows-per-partition target for per-key salt factors
 SESSION_GAP_S = 7200  # inactivity gap that splits user sessions
 PR_ITERS = 3  # unrolled integer-PageRank iterations
@@ -843,6 +845,11 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_seconds=SESSION_GAP_S)
 
 
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy-hitter vocabulary (tie-deterministic top-k)."""
+    return top_terms(_docs(spark, sf_dir), k=TOP_TERMS_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_gazetteer_entities": q_kg_gazetteer_entities,
@@ -894,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "corpus_skew_salts": q_corpus_skew_salts,
         "events_sessionize": q_events_sessionize,
+        "text_top_terms": q_text_top_terms,
     }
 
 
@@ -1547,6 +1555,14 @@ SELECT source, lang, COUNT(*) AS n_rows,
        (COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS share_ppm,
        (COUNT(*) + {SKEW_TARGET_ROWS - 1}) // {SKEW_TARGET_ROWS} AS salt_buckets
 FROM documents GROUP BY source, lang
+""",
+        "text_top_terms": f"""
+WITH w AS (SELECT lang AS grp, unnest(string_split(text, ' ')) AS term FROM documents),
+f AS (SELECT grp, term, COUNT(*) AS n FROM w WHERE length(term) >= 1 GROUP BY grp, term),
+r AS (SELECT grp, term, n,
+        CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n DESC, term ASC) AS INT) AS rank
+      FROM f)
+SELECT grp AS lang, term, n, rank FROM r WHERE rank <= {TOP_TERMS_K}
 """,
         "events_sessionize": f"""
 WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),

@@ -229,3 +229,50 @@ def fingerprint_agg(text: Column, n: int = 3, keep: int = 4) -> Column:
     """
     hashes = F.array_sort(F.transform(shingles(text, n), F.md5))
     return F.array_join(F.slice(hashes, 1, keep), "-")
+
+
+def top_terms(
+    df,
+    text_col: str = "text",
+    group_col: str = "lang",
+    k: int = 20,
+    min_len: int = 1,
+):
+    """Per-group heavy-hitter vocabulary: the ``k`` most frequent words
+    in each ``group_col`` value, rank total-ordered on (count DESC,
+    term ASC) so results are deterministic under ties.
+
+    The standard corpus diagnostic before stopword derivation / quality
+    filtering (and the same hot-term signal the jaccard stop-shingle
+    cap consumes). Plan: explode → map-side-combined count (hot words
+    collapse to one row per task BEFORE the exchange — the word
+    distribution is Zipfian, which is exactly when partial aggregation
+    pays) → per-group window top-k over the aggregated (|vocab|-sized)
+    frame, never over the corpus.
+
+    Returns (group, term, n, rank).
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    ).where(F.length("term") >= min_len)
+    counts = words.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("n"))
+    # lossless two-phase top-k: a global top-k term is necessarily
+    # top-k within its hash bucket, so prune each (grp, bucket) to k
+    # rows first — the final per-group window then sorts <= 64k rows
+    # instead of the group's whole vocabulary on one task
+    buckets = 64
+    w1 = Window.partitionBy("grp", "_b").orderBy(F.desc("n"), F.asc("term"))
+    pruned = (
+        counts.withColumn("_b", F.pmod(F.hash("term"), F.lit(buckets)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "n", "rank")
+    )

@@ -127,3 +127,66 @@ class TestVectorFunctions:
         )
         # bits set at i=0,2,4,5,7 → 1+4+16+32+128
         assert df.select(sign_bucket(F.col("v"), 8).alias("b")).first().b == 181
+
+
+class TestTopTerms:
+    def test_counts_rank_and_tie_order(self, spark):
+        from gliner_spark.functions.text import top_terms
+
+        docs = spark.createDataFrame(
+            [
+                ("b b b a a c", "en"),
+                ("a c", "en"),
+                ("x y", "de"),
+            ],
+            ["text", "lang"],
+        )
+        got = {
+            (r["lang"], r["rank"]): (r["term"], r["n"])
+            for r in top_terms(docs, k=2).collect()
+        }
+        # en: a=3, b=3 (tie -> 'a' first lexicographically), c=2 cut at k=2
+        assert got[("en", 1)] == ("a", 3)
+        assert got[("en", 2)] == ("b", 3)
+        assert ("en", 3) not in got
+        assert got[("de", 1)] == ("x", 1)
+
+    def test_two_phase_prune_is_lossless(self, spark):
+        """Top-k through the bucketed prune equals a naive global top-k."""
+        import random
+
+        from pyspark.sql import Window, functions as F
+
+        from gliner_spark.functions.text import top_terms
+
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(120)]
+        docs = [
+            (" ".join(rng.choices(vocab, k=60)), rng.choice(["en", "de"]))
+            for _ in range(50)
+        ]
+        df = spark.createDataFrame(docs, ["text", "lang"])
+        got = sorted(map(tuple, top_terms(df, k=7).collect()))
+        naive = (
+            df.select(
+                F.col("lang"), F.explode(F.split("text", " ")).alias("term")
+            )
+            .where(F.length("term") >= 1)
+            .groupBy("lang", "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+                ),
+            )
+            .where(F.col("rank") <= 7)
+        )
+        assert got == sorted(map(tuple, naive.collect()))
+
+    def test_empty_tokens_excluded(self, spark):
+        from gliner_spark.functions.text import top_terms
+
+        df = spark.createDataFrame([("a  a", "en")], ["text", "lang"])
+        rows = top_terms(df).collect()
+        assert [(r["term"], r["n"]) for r in rows] == [("a", 2)]
