@@ -133,6 +133,8 @@ DECONTAM_N = 8  # n-gram width for train/test decontamination
 TOP_TERMS_K = 20  # heavy-hitter vocabulary depth per language
 SKEW_TARGET_ROWS = 25  # rows-per-partition target for per-key salt factors
 SESSION_GAP_S = 7200  # inactivity gap that splits user sessions
+HOST_CAP_N = 5  # max docs kept per synthetic host (per-host cap gate)
+REP_LINE_WORDS = 8  # chunk width standing in for "lines" (repetition gate)
 PR_ITERS = 3  # unrolled integer-PageRank iterations
 PR_DAMPING = 85  # damping as integer percent
 PR_SCALE = 1_000_000  # fixed-point scale (rank 1.0 == 1e6)
@@ -850,6 +852,102 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(_docs(spark, sf_dir), k=TOP_TERMS_K)
 
 
+def _messy_html() -> F.Column:
+    """Deterministic raw-page markup per doc (documents carry no html
+    column, so both sides construct the identical page — head with
+    title/style/script traps, entities, a comment, block structure,
+    two links — and must extract identically)."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit(
+            " &amp; Co</title><style>p {color: red}</style>"
+            '<script type="text/javascript">var s = "<p>NOT TEXT</p>";'
+            "</script></head><body><h1>Heading "
+        ),
+        did,
+        F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(" &lt;tag&gt;</p><!-- hidden --><div>Tail "),
+        did,
+        F.lit('</div><a href="https://EXAMPLE.com/p'),
+        F.pmod(F.col("doc_id"), F.lit(13)).cast("string"),
+        F.lit('?x=1">l1</a><a href="http://Site'),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+        F.lit('.org:80/a">l2</a></body></html>'),
+    )
+
+
+def q_web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text / title / link count over deterministic
+    synthesized markup (script+style+head traps, entities, comments)."""
+    from gliner_spark.functions.html import html_links, html_title, html_to_text
+
+    h = _messy_html()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        html_title(h).alias("title"),
+        html_to_text(h).alias("body_text"),
+        F.size(html_links(h)).alias("n_links"),
+    )
+
+
+def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from the synthesized pages (binary html
+    column, like the north-rule input table)."""
+    from gliner_spark.operators.weblinks import host_link_graph
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://www.site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(_messy_html(), "UTF-8").alias("html"),
+    )
+    return host_link_graph(pages)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics; the doc's first 8-word line is
+    repeated 1-3x up front so duplicate-line fractions are non-trivial."""
+    from gliner_spark.functions.repetition import repetition_columns
+
+    unit = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, REP_LINE_WORDS), " "
+    )
+    boilerplated = F.concat(
+        F.repeat(
+            F.concat(unit, F.lit(" ")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(1)).cast("int"),
+        ),
+        F.col("text"),
+    )
+    cols = repetition_columns(boilerplated, line_words=REP_LINE_WORDS)
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+def q_corpus_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (lossless two-phase top-n) over a
+    synthesized Zipf-ish host: host h_k owns 2k+1 docs, so hot hosts
+    exercise the salted phase-1 prune."""
+    from gliner_spark.operators.corpus import cap_per_key
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), F.floor(F.sqrt(F.col("doc_id"))).cast("string")
+        ).alias("host"),
+    )
+    return cap_per_key(docs, "host", HOST_CAP_N, "doc_id").select(
+        "host", "doc_id", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_gazetteer_entities": q_kg_gazetteer_entities,
@@ -902,6 +1000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_skew_salts": q_corpus_skew_salts,
         "events_sessionize": q_events_sessionize,
         "text_top_terms": q_text_top_terms,
+        "web_html_extract": q_web_html_extract,
+        "web_link_graph": q_web_link_graph,
+        "text_repetition": q_text_repetition,
+        "corpus_host_cap": q_corpus_host_cap,
     }
 
 
@@ -1135,6 +1237,143 @@ def _bucket_expr(col: str, bits: int = BUCKET_BITS) -> str:
         for i in range(bits)
     )
     return f"({terms})"
+
+
+def _sq(s: str) -> str:
+    """SQL single-quote a literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_HTML_SQL = """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+ || ' &amp; Co</title><style>p {color: red}</style><script type="text/javascript">var s = "<p>NOT TEXT</p>";</script></head><body><h1>Heading '
+ || CAST(doc_id AS VARCHAR) || '</h1><p>' || substr(text, 1, 120)
+ || ' &lt;tag&gt;</p><!-- hidden --><div>Tail ' || CAST(doc_id AS VARCHAR)
+ || '</div><a href="https://EXAMPLE.com/p' || CAST(doc_id % 13 AS VARCHAR)
+ || '?x=1">l1</a><a href="http://Site' || CAST(doc_id % 5 AS VARCHAR)
+ || '.org:80/a">l2</a></body></html>'"""
+
+
+def _entity_ws_sql(expr: str) -> str:
+    """DuckDB expression mirroring functions.html entity decode +
+    whitespace normalization (same pattern constants, same order)."""
+    from gliner_spark.functions import html as _h
+
+    out = expr
+    for pat, rep in _h._ENTITIES:
+        out = f"replace({out}, {_sq(pat)}, {_sq(rep)})"
+    out = f"regexp_replace({out}, '[ \\t\\r\\x0b\\f]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n[ \\n]*', chr(10), 'g')"
+    return f"regexp_replace({out}, '^[\\s]+|[\\s]+$', '', 'g')"
+
+
+def _html_to_text_sql(expr: str) -> str:
+    """DuckDB expression mirroring functions.html.html_to_text (the
+    module's own regex constants, global flag explicit — DuckDB
+    replaces only the first match without it)."""
+    from gliner_spark.functions import html as _h
+
+    out = expr
+    for pat in (_h._COMMENT, _h._SCRIPT, _h._STYLE, _h._HEAD):
+        out = f"regexp_replace({out}, {_sq(pat)}, '', 'g')"
+    out = f"regexp_replace({out}, {_sq(_h._BLOCK_CLOSE)}, chr(10), 'g')"
+    out = f"regexp_replace({out}, {_sq(_h._ANY_TAG)}, ' ', 'g')"
+    return _entity_ws_sql(out)
+
+
+def _web_html_extract_sql() -> str:
+    from gliner_spark.functions import html as _h
+
+    title = _entity_ws_sql(f"regexp_extract(h, {_sq(_h._TITLE)}, 1)")
+    return f"""
+WITH pages AS (SELECT doc_id, {_HTML_SQL} AS h FROM documents)
+SELECT doc_id,
+       {title} AS title,
+       {_html_to_text_sql('h')} AS body_text,
+       CAST(len(regexp_extract_all(h, {_sq(_h._HREF)}, 1)) AS INT) AS n_links
+FROM pages
+"""
+
+
+def _web_link_graph_sql() -> str:
+    from gliner_spark.functions import html as _h
+
+    host_re = "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#:]*)'"
+    return f"""
+WITH pages AS (SELECT doc_id, {_HTML_SQL} AS h FROM documents),
+links AS (
+  SELECT doc_id, unnest(regexp_extract_all(h, {_sq(_h._HREF)}, 1)) AS href
+  FROM pages
+),
+e AS (
+  SELECT lower('www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com')
+           AS src_host,
+         lower(regexp_extract(href, {host_re}, 1)) AS dst_host
+  FROM links
+)
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM e WHERE src_host <> '' AND dst_host <> ''
+GROUP BY src_host, dst_host
+"""
+
+
+def _text_repetition_sql() -> str:
+    k = REP_LINE_WORDS
+    return f"""
+WITH t2 AS (
+  SELECT doc_id,
+         repeat(array_to_string((string_split(text, ' '))[1:{k}], ' ') || ' ',
+                CAST(1 + doc_id % 3 AS INT)) || text AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     w -> w <> '') AS words
+  FROM t2
+),
+l AS (
+  SELECT doc_id, words, len(words) AS nw,
+         CASE WHEN len(words) > 0 THEN
+           [array_to_string(words[(i*{k}+1):(i*{k}+{k})], ' ')
+            for i in range(0, CAST((len(words) + {k - 1}) // {k} AS INT))]
+         ELSE [] END AS lines
+  FROM base
+),
+lc AS (
+  SELECT doc_id, line, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(lines) AS line FROM l)
+  GROUP BY doc_id, line
+),
+p AS (
+  SELECT doc_id, SUM(c) AS nl, COUNT(*) AS nd,
+         SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dupch,
+         SUM(c * length(line)) AS lnch
+  FROM lc GROUP BY doc_id
+),
+bgc AS (
+  SELECT doc_id, MAX(c) AS best
+  FROM (SELECT doc_id, b, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([words[i] || ' ' || words[i+1]
+                             for i in range(1, CAST(len(words) AS INT))]) AS b
+              FROM base)
+        GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(l.nw AS INT) AS n_words,
+       CAST(COALESCE(p.nl, 0) AS INT) AS n_lines,
+       CASE WHEN COALESCE(p.nl, 0) > 0
+            THEN (p.nl - p.nd) / p.nl ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN COALESCE(p.lnch, 0) > 0
+            THEN p.dupch / p.lnch ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN l.nw >= 2
+            THEN COALESCE(bgc.best, 0) / (l.nw - 1) ELSE 0.0 END
+         AS top_bigram_frac
+FROM l
+LEFT JOIN p ON p.doc_id = l.doc_id
+LEFT JOIN bgc ON bgc.doc_id = l.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1580,5 +1819,22 @@ SELECT user_id, session_id,
        COUNT(*) AS n_events,
        MAX(ts_ms) - MIN(ts_ms) AS duration_ms
 FROM s GROUP BY user_id, session_id
+""",
+        "web_html_extract": _web_html_extract_sql(),
+        "web_link_graph": _web_link_graph_sql(),
+        "text_repetition": _text_repetition_sql(),
+        "corpus_host_cap": f"""
+WITH d AS (
+  SELECT doc_id,
+         'h' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR) AS host
+  FROM documents
+),
+r AS (
+  SELECT host, doc_id,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS INT)
+           AS rank
+  FROM d
+)
+SELECT host, doc_id, rank FROM r WHERE rank <= {HOST_CAP_N}
 """,
     }

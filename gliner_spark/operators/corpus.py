@@ -71,3 +71,45 @@ def corpus_keep_list(
         (F.col("_q") & ~F.col("_d") & ~F.col("_c")).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    order_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``key_col``, smallest ``order_col``
+    first — the per-host document cap web pipelines apply so one giant
+    domain can't dominate a training mix (C4 caps per URL host the
+    same way).
+
+    The naive ``row_number() OVER (PARTITION BY host)`` puts a hot
+    host's entire row set on one task — exactly the skew the north
+    rule calls out (a crawl's host distribution is Zipfian). This is
+    the lossless two-phase form (same argument as
+    ``functions.text.top_terms``): a row in the global top-n of its
+    key is necessarily in the top-n of its (key, hash-bucket) slice,
+    so phase 1 prunes each of the ``buckets`` slices to ``n`` rows and
+    the final per-key window sorts ≤ ``n·buckets`` candidates instead
+    of the key's whole row set.
+
+    Returns the input columns plus ``rank`` (1-based within key).
+    Deterministic when ``order_col`` is unique per key (it's the
+    tiebreak AND the sort key).
+    """
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(key_col, "_b").orderBy(F.asc(order_col))
+    pruned = (
+        df.withColumn("_b", F.pmod(F.hash(F.col(order_col)), F.lit(buckets)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= n)
+        .drop("_b", "_r1")
+    )
+    w = Window.partitionBy(key_col).orderBy(F.asc(order_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+    )
