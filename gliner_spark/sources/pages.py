@@ -140,16 +140,41 @@ def gold_entities_df(spark: SparkSession, n: int = 200, seed: int = 42) -> DataF
     )
 
 
-def read_pages(spark: SparkSession, path: str, columns=("url", "text", "lang")) -> DataFrame:
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    columns=("url", "text", "lang"),
+    derive_text_from_html: bool = False,
+) -> DataFrame:
     """Read the pages corpus, pruning to the needed columns.
 
     Tries Iceberg (``spark.read.format("iceberg")``) when ``path`` looks
     like a catalog table, else parquet. Selecting only (url, text, lang)
     lets Catalyst drop the BINARY html column at the scan — check
     ``ReadSchema`` in ``.explain("formatted")``.
+
+    ``derive_text_from_html=True`` is the raw-crawl path: rows whose
+    ``text`` is NULL/blank get it extracted from the ``html`` binary
+    (``functions.html.html_to_text``, still one map stage). The binary
+    column is read but dropped before anything shuffles; rows with a
+    pre-extracted ``text`` keep it byte-identical (the north rule's
+    per-url invariant is against the text column, so extraction must
+    never rewrite existing text).
     """
     if "/" not in path:
         df = spark.read.format("iceberg").load(path)
     else:
         df = spark.read.parquet(path)
-    return df.select(*columns)
+    if not derive_text_from_html:
+        return df.select(*columns)
+
+    from pyspark.sql import functions as F
+
+    from ..functions.html import html_to_text
+
+    cols = [c for c in columns if c != "html"]
+    derived = F.coalesce(
+        F.when(F.trim(F.col("text")) != "", F.col("text")),
+        html_to_text(F.decode(F.col("html"), "UTF-8")),
+    )
+    return df.select(*cols, "html").withColumn("text", derived).drop("html")

@@ -40,6 +40,12 @@ def parse_args():
     p.add_argument("--salt", type=int, default=64)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument(
+        "--from-html", action="store_true",
+        help="raw-crawl input: derive text from the html binary column "
+        "for rows whose text is NULL/blank (pre-extracted text is kept "
+        "byte-identical; the html column never crosses a shuffle)",
+    )
+    p.add_argument(
         "--partition-by-pred", action="store_true",
         help="materialize the graph table partitioned by (chunk, pred) "
         "and append per-predicate lineage rows (sinks.graph contract)",
@@ -71,7 +77,9 @@ def main():
         [tuple(p) for p in json.load(open(args.patterns))] if args.patterns else None
     )
 
-    pages = read_pages(spark, args.pages)
+    pages = read_pages(
+        spark, args.pages, derive_text_from_html=args.from_html
+    )
 
     def transform(chunk):
         shaped = length_bucketed(

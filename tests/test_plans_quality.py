@@ -248,3 +248,48 @@ class TestRound4GraphOpsPlanShapes:
         df = spark.createDataFrame([("a", "en")] * 5, ["source", "lang"])
         plan = formatted_plan(skew_profile(df))
         assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+class TestDeriveTextFromHtml:
+    def test_blank_text_derived_existing_kept_byte_identical(
+        self, spark, pages_path, tmp_path
+    ):
+        from gliner_spark.functions.html import html_to_text
+
+        raw = spark.read.parquet(pages_path)
+        # null out text for half the crawl (odd-length urls) — the
+        # raw-crawl shape where extraction hasn't run yet
+        blanked = raw.withColumn(
+            "text",
+            F.when(F.length("url") % 2 == 0, F.col("text")),
+        )
+        path = str(tmp_path / "raw_pages.parquet")
+        blanked.write.mode("overwrite").parquet(path)
+
+        got = read_pages(spark, path, derive_text_from_html=True)
+        joined = (
+            got.alias("g")
+            .join(raw.alias("r"), "url")
+            .select(
+                "url",
+                F.col("g.text").alias("derived"),
+                F.col("r.text").alias("orig"),
+                html_to_text(F.decode(F.col("r.html"), "UTF-8")).alias(
+                    "extracted"
+                ),
+                (F.length("url") % 2 == 0).alias("had_text"),
+            )
+        )
+        for row in joined.collect():
+            if row.had_text:
+                assert row.derived == row.orig  # byte-identical per url
+            else:
+                assert row.derived == row.extracted
+                if row.orig and row.orig.strip():  # blank pages stay blank
+                    assert row.derived
+
+    def test_derived_path_is_map_only(self, spark, pages_path):
+        df = read_pages(spark, pages_path, derive_text_from_html=True)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "html" not in [f.name for f in df.schema.fields]
