@@ -873,7 +873,7 @@ def _messy_html() -> F.Column:
         did,
         F.lit('</div><a href="https://EXAMPLE.com/p'),
         F.pmod(F.col("doc_id"), F.lit(13)).cast("string"),
-        F.lit('?x=1">l1</a><a href="http://Site'),
+        F.lit('?x=1">B&amp;B <b>inn</b></a><a href="http://Site'),
         F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
         F.lit('.org:80/a">l2</a></body></html>'),
     )
@@ -948,6 +948,44 @@ def q_corpus_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(href, anchor-text) pairs from the synthesized markup — anchor
+    bodies carry inline tags + entities that must normalize away."""
+    from gliner_spark.functions.html import html_anchors
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(html_anchors(_messy_html())).alias("a"))
+        .select(
+            "doc_id",
+            F.col("a.href").alias("href"),
+            F.col("a.anchor").alias("anchor"),
+        )
+    )
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: docs %5 dropped (gone), %7 edited (changed),
+    %11 re-keyed +1e6 (added), rest unchanged."""
+    from gliner_spark.operators.crawldelta import crawl_delta
+
+    did = F.col("doc_id")
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    new_core = old.where(F.pmod(did, F.lit(5)) != 0).withColumn(
+        "text",
+        F.when(
+            F.pmod(did, F.lit(7)) == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    added = old.where(F.pmod(did, F.lit(11)) == 0).select(
+        (did + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("fresh page "), did.cast("string")).alias("text"),
+    )
+    return crawl_delta(
+        old, new_core.unionByName(added), id_col="doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_gazetteer_entities": q_kg_gazetteer_entities,
@@ -1004,6 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_graph": q_web_link_graph,
         "text_repetition": q_text_repetition,
         "corpus_host_cap": q_corpus_host_cap,
+        "web_anchor_texts": q_web_anchor_texts,
+        "crawl_delta": q_crawl_delta,
     }
 
 
@@ -1249,7 +1289,7 @@ _HTML_SQL = """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
  || CAST(doc_id AS VARCHAR) || '</h1><p>' || substr(text, 1, 120)
  || ' &lt;tag&gt;</p><!-- hidden --><div>Tail ' || CAST(doc_id AS VARCHAR)
  || '</div><a href="https://EXAMPLE.com/p' || CAST(doc_id % 13 AS VARCHAR)
- || '?x=1">l1</a><a href="http://Site' || CAST(doc_id % 5 AS VARCHAR)
+ || '?x=1">B&amp;B <b>inn</b></a><a href="http://Site' || CAST(doc_id % 5 AS VARCHAR)
  || '.org:80/a">l2</a></body></html>'"""
 
 
@@ -1373,6 +1413,57 @@ SELECT l.doc_id,
 FROM l
 LEFT JOIN p ON p.doc_id = l.doc_id
 LEFT JOIN bgc ON bgc.doc_id = l.doc_id
+"""
+
+
+def _web_anchor_texts_sql() -> str:
+    from gliner_spark.functions import html as _h
+
+    anchor = _entity_ws_sql(
+        f"regexp_replace(raw, {_sq(_h._ANY_TAG)}, ' ', 'g')"
+    )
+    # the dict-comprehension braces are literal DuckDB syntax, so this
+    # string is assembled without f-interpolation around them
+    pairs = (
+        "unnest([{'href': hs[i], 'raw': an[i]} "
+        "for i in range(1, len(hs) + 1)], recursive := true)"
+    )
+    return f"""
+WITH pages AS (SELECT doc_id, {_HTML_SQL} AS h FROM documents),
+x AS (
+  SELECT doc_id,
+         regexp_extract_all(h, {_sq(_h._A_TAG)}, 1) AS hs,
+         regexp_extract_all(h, {_sq(_h._A_TAG)}, 2) AS an
+  FROM pages
+),
+p AS (SELECT doc_id, {pairs} FROM x)
+SELECT doc_id, href, {anchor} AS anchor FROM p
+"""
+
+
+_CRAWL_DELTA_SQL = """
+WITH old AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+new_core AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0
+),
+added AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         'fresh page ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+new AS (
+  SELECT doc_id, md5(text) AS new_md5
+  FROM (SELECT * FROM new_core UNION ALL SELECT * FROM added)
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'gone'
+            WHEN old_md5 = new_md5 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_md5, new_md5
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 """
 
 
@@ -1837,4 +1928,6 @@ r AS (
 )
 SELECT host, doc_id, rank FROM r WHERE rank <= {HOST_CAP_N}
 """,
+        "web_anchor_texts": _web_anchor_texts_sql(),
+        "crawl_delta": _CRAWL_DELTA_SQL,
     }

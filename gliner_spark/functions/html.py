@@ -42,6 +42,7 @@ _BLOCK_CLOSE = (
 )
 _ANY_TAG = "(?s)<[^>]*>"
 _HREF = "(?is)<a\\s[^>]*?href=\"([^\"]*)\""
+_A_TAG = "(?is)<a\\s[^>]*?href=\"([^\"]*)\"[^>]*>(.*?)</a\\s*>"
 _TITLE = "(?is)<title[^>]*>(.*?)</title\\s*>"
 
 #: (pattern, replacement) pairs for entity decoding — ``&amp;`` LAST.
@@ -93,6 +94,31 @@ def html_title(html: Column) -> Column:
     """``<title>`` content, entity-decoded and whitespace-normalized;
     empty string when the document has no title element."""
     return _normalize_ws(_decode_entities(F.regexp_extract(html, _TITLE, 1)))
+
+
+def _inline_text(t: Column) -> Column:
+    """Visible text of an inline fragment (anchor body): strip tags,
+    decode entities, normalize whitespace — no block handling."""
+    return _normalize_ws(_decode_entities(F.regexp_replace(t, _ANY_TAG, " ")))
+
+
+def html_anchors(html: Column) -> Column:
+    """``array<struct<href, anchor>>`` — link targets paired with their
+    visible anchor text (inline markup stripped, entities decoded).
+    Anchor text is the classic weak-supervision signal for entity
+    linking: the web's own labels for what a URL points at. Two
+    ``regexp_extract_all`` passes over the SAME pattern yield aligned
+    lists (identical match set), zipped element-wise — all expressions,
+    no UDF."""
+    hrefs = F.regexp_extract_all(html, F.lit(_A_TAG), 1)
+    anchors = F.regexp_extract_all(html, F.lit(_A_TAG), 2)
+    return F.zip_with(
+        hrefs,
+        anchors,
+        lambda h, a: F.struct(
+            h.alias("href"), _inline_text(a).alias("anchor")
+        ),
+    )
 
 
 def html_links(html: Column) -> Column:

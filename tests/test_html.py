@@ -140,3 +140,31 @@ class TestHostLinkGraph:
             .toString()
         )
         assert plan.count("Exchange") == 1  # only the (src,dst) groupBy
+
+
+class TestHtmlAnchors:
+    def test_anchor_text_normalized(self, spark):
+        from gliner_spark.functions.html import html_anchors
+
+        df = spark.createDataFrame(
+            [
+                (
+                    '<a href="https://x.com/">B&amp;B  <b>inn</b></a>'
+                    '<a href="/rel"><img src="i.png"></a>'
+                    "<a name=\"no-href\">skip</a>",
+                )
+            ],
+            "html string",
+        )
+        (row,) = df.select(html_anchors("html").alias("a")).collect()
+        assert [tuple(x) for x in row.a] == [
+            ("https://x.com/", "B&B inn"),
+            ("/rel", ""),  # image-only anchor: no visible text
+        ]
+
+    def test_empty_html(self, spark):
+        from gliner_spark.functions.html import html_anchors
+
+        df = spark.createDataFrame([("no links here",)], "html string")
+        (row,) = df.select(html_anchors("html").alias("a")).collect()
+        assert row.a == []
