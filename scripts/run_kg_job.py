@@ -40,6 +40,13 @@ def parse_args():
     p.add_argument("--salt", type=int, default=64)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument(
+        "--prev-pages", default=None,
+        help="previous corpus snapshot: switch to INCREMENTAL refresh — "
+        "diff urls/text-md5 vs --pages and re-extract only the chunks "
+        "containing an added/changed/gone url (gone chunks erased); "
+        "cost is O(changed fraction), not O(corpus)",
+    )
+    p.add_argument(
         "--from-html", action="store_true",
         help="raw-crawl input: derive text from the html binary column "
         "for rows whose text is NULL/blank (pre-extracted text is kept "
@@ -96,10 +103,20 @@ def main():
         )
 
     extra = ("pred",) if args.partition_by_pred else ()
-    results = RunManifest(spark, args.manifest, args.run_id).run(
-        pages, transform, args.out, n_chunks=args.chunks,
-        extra_partition_cols=extra,
-    )
+    manifest = RunManifest(spark, args.manifest, args.run_id)
+    if args.prev_pages:
+        prev = read_pages(
+            spark, args.prev_pages, derive_text_from_html=args.from_html
+        )
+        results = manifest.run_incremental(
+            prev, pages, transform, args.out, n_chunks=args.chunks,
+            extra_partition_cols=extra,
+        )
+    else:
+        results = manifest.run(
+            pages, transform, args.out, n_chunks=args.chunks,
+            extra_partition_cols=extra,
+        )
     done = sum(1 for r in results if not r.skipped)
     skipped = sum(1 for r in results if r.skipped)
     rows = sum(r.n_rows for r in results)

@@ -66,3 +66,107 @@ class TestManifestResume:
         mf = spark.read.parquet(man)
         assert mf.where(F.col("status") == "ok").count() == 3
         assert mf.where(F.col("wall_ms") <= 0).count() == 0
+
+
+class TestIncrementalRefresh:
+    """run_incremental: refresh == from-scratch, touches only affected
+    chunks, erases all-gone chunks, resumes within its run_id."""
+
+    def snapshots(self, spark):
+        old = pages_df(spark, 60).cache()
+        urls = [r.url for r in old.select("url").orderBy("url").collect()]
+        changed, gone = urls[3], urls[7]
+        new = (
+            old.where(F.col("url") != gone)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("url") == changed,
+                    F.concat(F.col("text"), F.lit(" john smith arrives")),
+                ).otherwise(F.col("text")),
+            )
+        )
+        added = old.limit(1).select(
+            F.lit("https://new.example/just-added").alias("url"),
+            *[F.col(c) for c in old.columns if c != "url"],
+        ).withColumn("text", F.lit("acme corporation opens office"))
+        return old, new.unionByName(added).cache()
+
+    def test_refresh_equals_from_scratch_and_skips_untouched(
+        self, spark, tmp_path
+    ):
+        old, new = self.snapshots(spark)
+        out = str(tmp_path / "triples")
+        man = str(tmp_path / "manifest")
+        RunManifest(spark, man, "base").run(old, transform, out, n_chunks=6)
+
+        calls = {"n": 0}
+
+        def counting(df):
+            calls["n"] += 1
+            return transform(df)
+
+        res = RunManifest(spark, man, "inc1").run_incremental(
+            old, new, counting, out, n_chunks=6
+        )
+        affected = {r.chunk for r in res}
+        assert 0 < len(affected) < 6  # strictly partial refresh
+        assert calls["n"] == len(affected)
+
+        got = sorted(
+            map(tuple, spark.read.parquet(out).drop("chunk").collect())
+        )
+        scratch = str(tmp_path / "scratch")
+        RunManifest(spark, str(tmp_path / "m2"), "s").run(
+            new, transform, scratch, n_chunks=6
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(scratch).drop("chunk").collect())
+        )
+        assert got == want  # byte-for-byte the from-scratch result
+
+        # idempotent replay under the same run_id: no work, no change
+        res2 = RunManifest(spark, man, "inc1").run_incremental(
+            old, new, transform, out, n_chunks=6
+        )
+        assert all(r.skipped for r in res2)
+        assert {r.chunk for r in res2} == affected
+        assert sorted(
+            map(tuple, spark.read.parquet(out).drop("chunk").collect())
+        ) == want
+
+    def test_all_gone_chunk_is_erased(self, spark, tmp_path):
+        old = pages_df(spark, 40).cache()
+        out = str(tmp_path / "triples")
+        man = str(tmp_path / "manifest")
+        RunManifest(spark, man, "base").run(old, transform, out, n_chunks=4)
+        # new snapshot: chunk 2's urls all vanish
+        chunk2 = old.withColumn(
+            "c", F.pmod(F.hash(F.col("url")), F.lit(4))
+        ).where(F.col("c") == 2)
+        assert chunk2.count() > 0
+        new = (
+            old.join(chunk2.select("url"), "url", "left_anti").cache()
+        )
+        RunManifest(spark, man, "inc").run_incremental(
+            old, new, transform, out, n_chunks=4
+        )
+        left = spark.read.parquet(out)
+        assert left.where(F.col("chunk") == 2).count() == 0
+        assert left.count() == transform(new).count()
+
+    def test_no_delta_no_work(self, spark, tmp_path):
+        old = pages_df(spark, 30).cache()
+        out = str(tmp_path / "triples")
+        man = str(tmp_path / "manifest")
+        RunManifest(spark, man, "base").run(old, transform, out, n_chunks=3)
+        before = sorted(
+            map(tuple, spark.read.parquet(out).drop("chunk").collect())
+        )
+        res = RunManifest(spark, man, "inc").run_incremental(
+            old, old, transform, out, n_chunks=3
+        )
+        assert res == []
+        assert sorted(
+            map(tuple, spark.read.parquet(out).drop("chunk").collect())
+        ) == before

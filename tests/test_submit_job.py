@@ -37,7 +37,10 @@ class TestSubmit:
         out = str(tmp_path / "triples")
         man = str(tmp_path / "manifest")
 
-        def submit(run_id, master="local[2]", out_dir=None, man_dir=None, flags=()):
+        def submit(
+            run_id, master="local[2]", out_dir=None, man_dir=None, flags=(),
+            pages=None,
+        ):
             cmd = [
                 SPARK_SUBMIT,
                 "--master", master,
@@ -45,7 +48,7 @@ class TestSubmit:
                 "--conf", "spark.sql.shuffle.partitions=4",
                 "--py-files", zip_path,
                 os.path.join(REPO, "scripts", "run_kg_job.py"),
-                "--pages", pages_path,
+                "--pages", pages or pages_path,
                 "--out", out_dir or out,
                 "--manifest", man_dir or man,
                 "--labels", "person,organization",
@@ -122,4 +125,44 @@ class TestSubmit:
         )
         assert sorted(map(tuple, pr.collect())) == sorted(
             map(tuple, local.collect())
+        )
+
+        # incremental refresh (--prev-pages): mutate only chunk-0 urls —
+        # one changed (gains a guaranteed works_at triple), one gone —
+        # and assert the refresh runs exactly that one chunk. Last leg:
+        # it rewrites `out` in another process, so it must come after
+        # every read of the original `out` content above.
+        pg = spark.read.parquet(pages_path).withColumn(
+            "c", F.pmod(F.hash("url"), F.lit(2))
+        )
+        changed_url, gone_url = [
+            r.url for r in pg.where("c = 0").select("url").limit(2).collect()
+        ]
+        pages2 = (
+            pg.drop("c")
+            .where(F.col("url") != gone_url)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("url") == changed_url,
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" john smith works at acme corporation"),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+        )
+        pages2_path = str(tmp_path / "pages2.parquet")
+        pages2.write.mode("overwrite").parquet(pages2_path)
+        inc = submit("rinc", pages=pages2_path, flags=("--prev-pages", pages_path))
+        assert inc["chunks_run"] == 1 and inc["chunks_skipped"] == 0
+        # the refresh replaced files another session listed: re-list
+        spark.catalog.refreshByPath(out)
+        after = spark.read.parquet(out)
+        assert after.where(F.col("url") == gone_url).count() == 0
+        assert (
+            after.where(
+                (F.col("url") == changed_url) & (F.col("pred") == "works_at")
+            ).count()
+            >= 1
         )
