@@ -913,7 +913,7 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics; the doc's first 8-word line is
     repeated 1-3x up front so duplicate-line fractions are non-trivial."""
-    from gliner_spark.functions.repetition import repetition_columns
+    from gliner_spark.functions.repetition import with_repetition_metrics
 
     unit = F.array_join(
         F.slice(F.split(F.col("text"), " "), 1, REP_LINE_WORDS), " "
@@ -925,10 +925,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("text"),
     )
-    cols = repetition_columns(boilerplated, line_words=REP_LINE_WORDS)
-    return _docs(spark, sf_dir).select(
-        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    staged = _docs(spark, sf_dir).select(
+        "doc_id", boilerplated.alias("__text")
     )
+    metrics = with_repetition_metrics(
+        staged, "__text", line_words=REP_LINE_WORDS
+    )
+    return metrics.drop("__text")
 
 
 def q_corpus_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:

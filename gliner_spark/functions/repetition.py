@@ -106,25 +106,7 @@ def _max_bigram_run(words: Column) -> Column:
     )
 
 
-def repetition_columns(
-    text: Column, line_words: int = 8
-) -> Dict[str, Column]:
-    """Per-document repetition metrics as named columns:
-
-    * ``n_words`` — whitespace token count;
-    * ``n_lines`` — K-word chunk count (K = ``line_words``);
-    * ``dup_line_frac`` — fraction of lines that are duplicates
-      (1 − distinct/total — the Gopher duplicate-line rule);
-    * ``dup_line_char_frac`` — fraction of line characters inside
-      duplicated lines (Gopher's character-weighted variant, the one
-      that catches a short page with one giant repeated block);
-    * ``top_bigram_frac`` — share of the most frequent word bigram
-      among all bigrams (keyword-stuffing detector).
-
-    All pure expressions; the whole computation is one map stage.
-    """
-    words = _words(text)
-    lines = _chunk_lines(words, line_words)
+def _metrics_from_arrays(words: Column, lines: Column) -> Dict[str, Column]:
     n_words = F.size(words)
     n_lines = F.size(lines)
     n_distinct = F.size(F.array_distinct(lines))
@@ -147,3 +129,65 @@ def repetition_columns(
             n_words >= 2, best_run / (n_words - F.lit(1))
         ).otherwise(zero),
     }
+
+
+def repetition_columns(
+    text: Column, line_words: int = 8
+) -> Dict[str, Column]:
+    """Per-document repetition metrics as named columns:
+
+    * ``n_words`` — whitespace token count;
+    * ``n_lines`` — K-word chunk count (K = ``line_words``);
+    * ``dup_line_frac`` — fraction of lines that are duplicates
+      (1 − distinct/total — the Gopher duplicate-line rule);
+    * ``dup_line_char_frac`` — fraction of line characters inside
+      duplicated lines (Gopher's character-weighted variant, the one
+      that catches a short page with one giant repeated block);
+    * ``top_bigram_frac`` — share of the most frequent word bigram
+      among all bigrams (keyword-stuffing detector).
+
+    All pure expressions; the whole computation is one map stage.
+
+    PERFORMANCE HAZARD: because these are raw expressions, every
+    metric embeds its own COPY of the word/line-array subtree (and
+    ``_dup_char_sum`` alone references the sorted-lines subtree five
+    times, each copy nesting the full tokenization chain), and Spark
+    evaluates each copy independently per row — no common-
+    subexpression elimination across the metric expressions. The
+    duplication multiplies through the nesting to dozens of
+    re-tokenizations per row (~25x slower, measured at sf0.1). Use
+    :func:`with_repetition_metrics` on a DataFrame, which stages the
+    arrays through projections so each is computed once per row; keep
+    this form only for tiny inputs or single-metric use.
+    """
+    words = _words(text)
+    lines = _chunk_lines(words, line_words)
+    return _metrics_from_arrays(words, lines)
+
+
+def with_repetition_metrics(
+    df, text, line_words: int = 8
+):
+    """``df`` plus the five repetition metric columns (see
+    :func:`repetition_columns`), computed the fast way.
+
+    ``text`` is a column name or Column expression. The word and line
+    arrays are materialized through two intermediate projections, so
+    the many references the metric expressions make to them resolve
+    to a cheap attribute instead of each duplicating (and
+    re-evaluating, once per row per copy) the whole tokenization
+    subtree (Catalyst's CollapseProject keeps multiply-referenced
+    non-trivial aliases staged, so the projections survive
+    optimization — 25x measured vs the inline-expression form at
+    sf0.1). Still zero shuffles: three chained map-stage projections.
+    """
+    tcol = F.col(text) if isinstance(text, str) else text
+    staged = df.withColumn("__rep_words", _words(tcol)).withColumn(
+        "__rep_lines", _chunk_lines(F.col("__rep_words"), line_words)
+    )
+    metrics = _metrics_from_arrays(
+        F.col("__rep_words"), F.col("__rep_lines")
+    )
+    return staged.select(
+        *df.columns, *[c.alias(n) for n, c in metrics.items()]
+    )

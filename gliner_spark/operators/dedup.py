@@ -378,13 +378,20 @@ def segment_dedup(
     row colocation before combine) and the join's build side is one
     row per distinct segment, so AQE's skew split handles hot keys.
     """
-    ws = F.split(F.col(text_col), " ")
+    # stage the split as a projection first: each expression embedding
+    # the token array would otherwise hold (and evaluate, per row) its
+    # own copy of the split subtree; as a materialized column every
+    # reference is a cheap attribute read
+    ws = F.col("_ws")
     n_seg = F.ceil(F.size(ws) / F.lit(k)).cast("int")
     seg_expr = F.transform(
         F.sequence(F.lit(1), n_seg),
         lambda i: F.array_join(F.slice(ws, (i - F.lit(1)) * k + F.lit(1), k), " "),
     )
-    base = df.select(F.col(id_col).alias("_id"), seg_expr.alias("_segs"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_ws"),
+    ).select("_id", seg_expr.alias("_segs"))
     segs = base.select(
         "_id", F.posexplode(F.col("_segs")).alias("pos", "seg")
     )
@@ -405,7 +412,10 @@ def segment_dedup(
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
     totals = df.select(
-        F.col(id_col).alias("_id"), n_seg.alias("n_segments")
+        F.col(id_col).alias("_id"),
+        F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(k))
+        .cast("int")
+        .alias("n_segments"),
     )
     return (
         totals.join(agg, "_id", "left")

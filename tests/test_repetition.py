@@ -7,7 +7,10 @@ from collections import Counter
 import pytest
 from pyspark.sql import functions as F
 
-from gliner_spark.functions.repetition import repetition_columns
+from gliner_spark.functions.repetition import (
+    repetition_columns,
+    with_repetition_metrics,
+)
 
 K = 8
 
@@ -99,3 +102,35 @@ class TestRepetitionMetrics:
             .toString()
         )
         assert "Exchange" not in plan
+
+    def test_staged_fast_path_identical_and_shuffle_free(self, spark):
+        """with_repetition_metrics (the fast path: arrays materialized
+        once per row) must return exactly what the raw expressions do,
+        keep the caller's columns, and still plan zero exchanges —
+        and the optimizer must NOT collapse the staging projections
+        back into one (which would duplicate the tokenization subtree
+        into every metric expression again, the 25x slowdown this
+        exists to avoid)."""
+        import random
+
+        rng = random.Random(7)
+        vocab = ["red", "blue", "green", "ox", "k"]
+        texts = [""] + [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 60)))
+            for _ in range(30)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id int, text string"
+        )
+        fast = with_repetition_metrics(df, "text")
+        assert fast.columns[:2] == ["id", "text"]
+        got = [r.asDict() for r in fast.drop("text").orderBy("id").collect()]
+        want = run(spark, texts)
+        assert got == want
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        optimized = (
+            fast._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # the staged word-array alias survives optimization
+        assert "__rep_words" in optimized
