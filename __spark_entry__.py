@@ -156,11 +156,31 @@ DEDUP_BUCKET_BITS = 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents table, fanned out when the scan under-partitions.
+
+    The test parquet is ONE file with ONE row group, so without the
+    defensive round-robin every map-heavy gate (repetition, simhash,
+    HTML extraction, …) runs its per-row stage on a single core at any
+    ``local[N]`` — the 64x scaling run measured a flat 0.26 efficiency
+    purely from this. ``_ensure_parallelism`` counts scan files: at
+    real corpus scale the scan yields ≥cores splits and this is a
+    no-op (no extra exchange); locally it costs one tiny shuffle and
+    buys full-core parallelism. Values are partitioning-invariant
+    (pinned by the local[2] ≡ local[8] determinism leg in
+    tests/test_submit_job.py and every oracle gate)."""
+    from gliner_spark.operators.extract import _ensure_parallelism
+
+    return _ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), None
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from gliner_spark.operators.extract import _ensure_parallelism
+
+    return _ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), None
+    )
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:

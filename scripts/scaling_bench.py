@@ -55,32 +55,42 @@ def build_scaled_input() -> None:
     duplicates within every replica, but cross-replica shingle overlap
     is destroyed — siblings are unrelated documents to every dedup
     operator, the realistic web-corpus shape."""
-    marker = os.path.join(SCALED_DIR, f".built_r{REPLICAS}_perm")
+    marker = os.path.join(SCALED_DIR, f".built_r{REPLICAS}_perm_v2")
     if os.path.exists(marker):
         return
+    import shutil
+
     import duckdb
 
     os.makedirs(SCALED_DIR, exist_ok=True)
     con = duckdb.connect()
-    # 32 files → the scan parallelizes across all cores at both
-    # parallelism levels and the operators' defensive repartition is a
-    # no-op (no extra shuffle on the measured path).
-    con.sql(
-        f"""
-        COPY (
-          SELECT doc_id + r.i * 1000000 AS doc_id,
-                 array_to_string(
-                   list_transform(
-                     list_sort(list_transform(string_split(text, ' '),
-                       (w, j) -> md5('r' || CAST(r.i AS VARCHAR) || 'p' || CAST(j AS VARCHAR)) || '|' || w)),
-                     x -> x[34:]),
-                   ' ') AS text,
-                 lang, source, n_chars
-          FROM '{SF_DIR}/documents.parquet', (VALUES {', '.join(f'({i})' for i in range(REPLICAS))}) r(i)
-        ) TO '{SCALED_DIR}/documents.parquet'
-        (FORMAT PARQUET, FILE_SIZE_BYTES 524288)
-        """
-    )
+    # One part-file PER REPLICA (FILE_SIZE_BYTES proved unreliable —
+    # duckdb emitted 14 MB files for a 512 KB request, so the whole
+    # corpus arrived as ≤3 scan splits and every map-only job ran its
+    # parquet decode on ≤3 cores at EITHER parallelism level — a flat
+    # 0.26-0.33 "efficiency" that measured the input layout, not the
+    # plan). ≥REPLICAS files means the scan itself fans out and the
+    # operators' defensive repartition is a no-op (no extra shuffle on
+    # the measured path) — the file-count shape a real corpus has.
+    docs_dir = os.path.join(SCALED_DIR, "documents.parquet")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    os.makedirs(docs_dir)
+    for i in range(REPLICAS):
+        con.sql(
+            f"""
+            COPY (
+              SELECT doc_id + {i} * 1000000 AS doc_id,
+                     array_to_string(
+                       list_transform(
+                         list_sort(list_transform(string_split(text, ' '),
+                           (w, j) -> md5('r' || CAST({i} AS VARCHAR) || 'p' || CAST(j AS VARCHAR)) || '|' || w)),
+                         x -> x[34:]),
+                       ' ') AS text,
+                     lang, source, n_chars
+              FROM '{SF_DIR}/documents.parquet'
+            ) TO '{docs_dir}/part_{i:04d}.parquet' (FORMAT PARQUET)
+            """
+        )
     con.sql(
         f"""
         COPY (

@@ -141,7 +141,12 @@ class TestRound2PlanShapes:
             plan = formatted_plan(E.queries()[name](spark, sf))
             assert "CartesianProduct" not in plan, name
         url_plan = formatted_plan(E.queries()["text_url_normalize"](spark, sf))
-        assert "Exchange" not in url_plan and "CartesianProduct" not in url_plan
+        # pure narrow expressions: the ONLY exchange allowed is the
+        # defensive round-robin fan-out of the under-split test scan
+        # (a no-op at real corpus scale) — never a data-dependent one
+        assert "CartesianProduct" not in url_plan
+        assert "hashpartitioning" not in url_plan
+        assert "rangepartitioning" not in url_plan
 
     def test_star_cc_no_cartesian(self, spark):
         from gliner_spark.operators.canonicalize import connected_components
