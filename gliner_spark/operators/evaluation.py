@@ -29,15 +29,34 @@ RELEX_KEY = [
 ]
 
 
+def _side_membership(
+    pred: DataFrame, gold: DataFrame, key: List[str]
+) -> DataFrame:
+    """One row per distinct key with (_in_p, _in_g) membership flags —
+    each input evaluated ONCE (tag, union, groupBy-max). The previous
+    count()/count()/join-count form issued three driver actions and
+    referenced each side twice, so the upstream plan (for the eval
+    gates: the full NER extraction) re-ran up to four times."""
+    marked = pred.select(*key).withColumns(
+        {"_in_p": F.lit(1), "_in_g": F.lit(0)}
+    ).unionByName(
+        gold.select(*key).withColumns({"_in_p": F.lit(0), "_in_g": F.lit(1)})
+    )
+    return marked.groupBy(*key).agg(
+        F.max("_in_p").alias("_in_p"), F.max("_in_g").alias("_in_g")
+    )
+
+
 def match_counts(
     pred: DataFrame, gold: DataFrame, key: List[str]
 ) -> DataFrame:
     """One row: n_pred, n_gold, tp (set semantics on ``key``)."""
-    p = pred.select(*key).distinct()
-    g = gold.select(*key).distinct()
-    tp = p.join(g, key, "inner").count()
-    return p.sparkSession.createDataFrame(
-        [(p.count(), g.count(), tp)], "n_pred long, n_gold long, tp long"
+    return _side_membership(pred, gold, key).agg(
+        F.coalesce(F.sum("_in_p"), F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce(F.sum("_in_g"), F.lit(0)).cast("long").alias("n_gold"),
+        F.coalesce(F.sum(F.col("_in_p") * F.col("_in_g")), F.lit(0))
+        .cast("long")
+        .alias("tp"),
     )
 
 
@@ -74,23 +93,14 @@ def per_label_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     Distributed version of the per-class branch in compute_prf
     (evaluator.py:33-60).
     """
-    p = (
-        pred.select(*NER_KEY).distinct()
-        .groupBy("label").agg(F.count("*").alias("n_pred"))
-    )
-    g = (
-        gold.select(*NER_KEY).distinct()
-        .groupBy("label").agg(F.count("*").alias("n_gold"))
-    )
-    tp = (
-        pred.select(*NER_KEY).distinct()
-        .join(gold.select(*NER_KEY).distinct(), NER_KEY, "inner")
-        .groupBy("label").agg(F.count("*").alias("tp"))
-    )
-    out = (
-        p.join(g, "label", "full")
-        .join(tp, "label", "left")
-        .fillna(0, ["n_pred", "n_gold", "tp"])
+    # single pass over each side (see _side_membership): label is part
+    # of the match key, so the per-label counts are one groupBy away —
+    # the previous p/g/tp-join form referenced pred and gold twice
+    # each, re-running the upstream extraction four times per query
+    out = _side_membership(pred, gold, NER_KEY).groupBy("label").agg(
+        F.sum("_in_p").cast("long").alias("n_pred"),
+        F.sum("_in_g").cast("long").alias("n_gold"),
+        F.sum(F.col("_in_p") * F.col("_in_g")).cast("long").alias("tp"),
     )
     return out.select(
         "label",
