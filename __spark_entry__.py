@@ -155,8 +155,8 @@ BUCKET_BITS = 8
 DEDUP_BUCKET_BITS = 4
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents table, fanned out when the scan under-partitions.
+def _read_fanned(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read, fanned out when the scan under-partitions.
 
     The test parquet is ONE file with ONE row group, so without the
     defensive round-robin every map-heavy gate (repetition, simhash,
@@ -170,17 +170,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_submit_job.py and every oracle gate)."""
     from gliner_spark.operators.extract import _ensure_parallelism
 
-    return _ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), None
-    )
+    return _ensure_parallelism(spark.read.parquet(path), None)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read_fanned(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gliner_spark.operators.extract import _ensure_parallelism
-
-    return _ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), None
-    )
+    return _read_fanned(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -234,7 +234,7 @@ def simhash_column(text: Column, bits: int = 32, ngram: int = 1) -> Column:
         lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v),
     )
     powers = F.array(*[F.lit(2**b).cast("long") for b in range(bits)])
-    return F.aggregate(
+    packed = F.aggregate(
         F.zip_with(
             votes,
             powers,
@@ -243,6 +243,11 @@ def simhash_column(text: Column, bits: int = 32, ngram: int = 1) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # NULL text propagates a NULL array through the aggregates; the
+    # per-bit form this replaced coerced every null vote to 0 and
+    # returned signature 0 — keep that contract (a NULL signature
+    # would silently drop the row from every band/XOR comparison)
+    return F.coalesce(packed, F.lit(0).cast("long"))
 
 
 def fingerprint_agg(text: Column, n: int = 3, keep: int = 4) -> Column:

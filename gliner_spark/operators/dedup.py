@@ -411,11 +411,12 @@ def segment_dedup(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
-    totals = df.select(
-        F.col(id_col).alias("_id"),
-        F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(k))
-        .cast("int")
-        .alias("n_segments"),
+    # n_segments = the length of the SAME segment array the explode
+    # consumed — one source of truth with the staged projection above
+    # (a re-derived split here could silently diverge from _segs if
+    # the segmentation ever changes)
+    totals = base.select(
+        "_id", F.size("_segs").alias("n_segments")
     )
     return (
         totals.join(agg, "_id", "left")

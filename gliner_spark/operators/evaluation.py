@@ -42,8 +42,19 @@ def _side_membership(
     ).unionByName(
         gold.select(*key).withColumns({"_in_p": F.lit(0), "_in_g": F.lit(1)})
     )
+    # SQL join semantics for the tp term: a row with ANY null key
+    # field can never be a true positive (NULL = NULL is not a match
+    # in the join form this replaces and in the DuckDB oracle), even
+    # though groupBy treats nulls as equal and so merges such rows
+    # into one membership row. Without this gate a null-keyed row
+    # present on both sides would inflate tp.
+    nonnull = F.lit(True)
+    for k in key:
+        nonnull = nonnull & F.col(k).isNotNull()
     return marked.groupBy(*key).agg(
-        F.max("_in_p").alias("_in_p"), F.max("_in_g").alias("_in_g")
+        F.max("_in_p").alias("_in_p"),
+        F.max("_in_g").alias("_in_g"),
+        F.max(nonnull.cast("int")).alias("_joinable"),
     )
 
 
@@ -54,7 +65,10 @@ def match_counts(
     return _side_membership(pred, gold, key).agg(
         F.coalesce(F.sum("_in_p"), F.lit(0)).cast("long").alias("n_pred"),
         F.coalesce(F.sum("_in_g"), F.lit(0)).cast("long").alias("n_gold"),
-        F.coalesce(F.sum(F.col("_in_p") * F.col("_in_g")), F.lit(0))
+        F.coalesce(
+            F.sum(F.col("_in_p") * F.col("_in_g") * F.col("_joinable")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("tp"),
     )
@@ -100,7 +114,9 @@ def per_label_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     out = _side_membership(pred, gold, NER_KEY).groupBy("label").agg(
         F.sum("_in_p").cast("long").alias("n_pred"),
         F.sum("_in_g").cast("long").alias("n_gold"),
-        F.sum(F.col("_in_p") * F.col("_in_g")).cast("long").alias("tp"),
+        F.sum(F.col("_in_p") * F.col("_in_g") * F.col("_joinable"))
+        .cast("long")
+        .alias("tp"),
     )
     return out.select(
         "label",

@@ -77,6 +77,58 @@ class RunManifest:
         )
         fs.delete(path, True)
 
+    def _layout_path(self):
+        # underscore prefix: Spark data sources treat _-files as
+        # hidden, so the sidecar never pollutes the manifest scan
+        jvm = self.spark._jvm
+        return jvm.org.apache.hadoop.fs.Path(
+            f"{self.manifest_path}/_layout.json"
+        )
+
+    def _check_layout(self, n_chunks: int, key_col: str) -> None:
+        """Record the chunking layout beside the manifest on first run
+        and REFUSE to run under a different one. Chunk membership is
+        ``pmod(hash(key), n_chunks)``: rerunning (and especially
+        incrementally refreshing) with a different n_chunks or key
+        column would rewrite a different partition of the key space
+        than the directories on disk hold — unchanged docs would
+        appear in two chunk dirs and gone docs would survive in
+        never-deleted ones, silently breaking refresh ≡ from-scratch.
+        """
+        import json
+
+        path = self._layout_path()
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            stream = fs.open(path)
+            try:
+                raw = bytes(
+                    self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                        stream
+                    )
+                )
+            finally:
+                stream.close()
+            saved = json.loads(raw.decode("utf-8"))
+            if saved["n_chunks"] != n_chunks or saved["key_col"] != key_col:
+                raise ValueError(
+                    f"manifest at {self.manifest_path} was built with "
+                    f"n_chunks={saved['n_chunks']}, key_col="
+                    f"{saved['key_col']!r}; refusing to run with "
+                    f"n_chunks={n_chunks}, key_col={key_col!r} — chunk "
+                    "membership would no longer match the directories "
+                    "on disk (delete the output + manifest to re-chunk)"
+                )
+            return
+        payload = json.dumps(
+            {"n_chunks": n_chunks, "key_col": key_col}
+        ).encode("utf-8")
+        stream = fs.create(path, True)
+        try:
+            stream.write(bytearray(payload))
+        finally:
+            stream.close()
+
     def _append_manifest(self, chunk: int, n_docs: int, n_rows: int, wall_ms: int):
         row = [(self.run_id, chunk, n_docs, n_rows, wall_ms, "ok")]
         (
@@ -110,6 +162,7 @@ class RunManifest:
         it rewrites.
         """
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        self._check_layout(n_chunks, key_col)
         done = self.completed_chunks()
         results: List[ChunkResult] = []
         chunked = source.withColumn(
@@ -190,6 +243,7 @@ class RunManifest:
         self.spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
+        self._check_layout(n_chunks, key_col)
         done_here = self.completed_chunks(run_id_only=True)
         results: List[ChunkResult] = []
         chunked = source.withColumn(

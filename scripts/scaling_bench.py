@@ -55,7 +55,7 @@ def build_scaled_input() -> None:
     duplicates within every replica, but cross-replica shingle overlap
     is destroyed — siblings are unrelated documents to every dedup
     operator, the realistic web-corpus shape."""
-    marker = os.path.join(SCALED_DIR, f".built_r{REPLICAS}_perm_v2")
+    marker = os.path.join(SCALED_DIR, f".built_r{REPLICAS}_perm_v3")
     if os.path.exists(marker):
         return
     import shutil
@@ -75,22 +75,29 @@ def build_scaled_input() -> None:
     docs_dir = os.path.join(SCALED_DIR, "documents.parquet")
     shutil.rmtree(docs_dir, ignore_errors=True)
     os.makedirs(docs_dir)
+    # ≥32 files TOTAL even at small REPLICAS: with fewer files than
+    # the larger parallelism level, _ensure_parallelism would add a
+    # round-robin shuffle at local[32] but not at local[8] —
+    # asymmetric overhead inside the very ratio being measured.
+    shards = max(1, -(-32 // REPLICAS))  # ceil
     for i in range(REPLICAS):
-        con.sql(
-            f"""
-            COPY (
-              SELECT doc_id + {i} * 1000000 AS doc_id,
-                     array_to_string(
-                       list_transform(
-                         list_sort(list_transform(string_split(text, ' '),
-                           (w, j) -> md5('r' || CAST({i} AS VARCHAR) || 'p' || CAST(j AS VARCHAR)) || '|' || w)),
-                         x -> x[34:]),
-                       ' ') AS text,
-                     lang, source, n_chars
-              FROM '{SF_DIR}/documents.parquet'
-            ) TO '{docs_dir}/part_{i:04d}.parquet' (FORMAT PARQUET)
-            """
-        )
+        for s in range(shards):
+            con.sql(
+                f"""
+                COPY (
+                  SELECT doc_id + {i} * 1000000 AS doc_id,
+                         array_to_string(
+                           list_transform(
+                             list_sort(list_transform(string_split(text, ' '),
+                               (w, j) -> md5('r' || CAST({i} AS VARCHAR) || 'p' || CAST(j AS VARCHAR)) || '|' || w)),
+                             x -> x[34:]),
+                           ' ') AS text,
+                         lang, source, n_chars
+                  FROM '{SF_DIR}/documents.parquet'
+                  WHERE doc_id % {shards} = {s}
+                ) TO '{docs_dir}/part_{i:04d}_{s:02d}.parquet' (FORMAT PARQUET)
+                """
+            )
     con.sql(
         f"""
         COPY (

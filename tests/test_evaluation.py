@@ -152,3 +152,27 @@ class TestMacroWeighted:
         micro = micro_prf(pred, gold).first()
         macro = macro_prf(pred, gold).first()
         assert micro.recall != pytest.approx(macro.recall)
+
+
+class TestNullKeySemantics:
+    """SQL-join parity: a row with any NULL key field can never be a
+    true positive (NULL = NULL is no match in the join form and the
+    DuckDB oracle), even when it exists verbatim on both sides."""
+
+    def test_null_key_rows_never_tp(self, spark):
+        from gliner_spark.operators.evaluation import match_counts, per_label_prf
+
+        pred = spark.createDataFrame(
+            [("u1", 0, 2, None), ("u1", 0, 2, "person")],
+            "url string, start int, end int, label string",
+        )
+        gold = spark.createDataFrame(
+            [("u1", 0, 2, None), ("u2", 0, 2, "person")],
+            "url string, start int, end int, label string",
+        )
+        row = match_counts(pred, gold, ["url", "start", "end", "label"]).first()
+        assert (row.n_pred, row.n_gold, row.tp) == (2, 2, 0)
+        per = {r.label: r for r in per_label_prf(pred, gold).collect()}
+        assert per[None].tp == 0
+        assert per["person"].n_pred == 1 and per["person"].n_gold == 1
+        assert per["person"].tp == 0  # different urls

@@ -190,3 +190,19 @@ class TestTopTerms:
         df = spark.createDataFrame([("a  a", "en")], ["text", "lang"])
         rows = top_terms(df).collect()
         assert [(r["term"], r["n"]) for r in rows] == [("a", 2)]
+
+
+def test_simhash_null_text_is_zero(spark):
+    """NULL text → signature 0 (the pre-round-4 per-bit form coerced
+    null votes to 0; a NULL signature would silently drop the row from
+    every band/XOR comparison)."""
+    from gliner_spark.functions.text import simhash_column
+
+    df = spark.createDataFrame([(1, None), (2, "")], "id int, text string")
+    got = {r.id: r.sh for r in df.select(
+        "id", simhash_column(F.col("text"), 32).alias("sh")
+    ).collect()}
+    assert got[1] == 0
+    # empty string tokenizes to [""] and hashes like any one-token doc
+    # (unchanged pre-round-4 semantics) — non-null either way
+    assert got[2] is not None

@@ -170,3 +170,28 @@ class TestIncrementalRefresh:
         assert sorted(
             map(tuple, spark.read.parquet(out).drop("chunk").collect())
         ) == before
+
+
+class TestLayoutGuard:
+    """Chunk membership is pmod(hash(key), n_chunks): a rerun (or
+    incremental refresh) under a different layout would rewrite a
+    different partition of the key space than the directories hold —
+    the manifest records its layout and refuses a mismatch."""
+
+    def test_rerun_with_different_chunking_refuses(self, spark, pages, tmp_path):
+        out = str(tmp_path / "t")
+        man = str(tmp_path / "m")
+        RunManifest(spark, man, "r1").run(pages, transform, out, n_chunks=3)
+        with pytest.raises(ValueError, match="n_chunks=3"):
+            RunManifest(spark, man, "r2").run(
+                pages, transform, out, n_chunks=5
+            )
+        with pytest.raises(ValueError, match="key_col"):
+            RunManifest(spark, man, "r3").run_incremental(
+                pages, pages, transform, out, n_chunks=3, key_col="text"
+            )
+        # same layout still resumes fine
+        res = RunManifest(spark, man, "r4").run(
+            pages, transform, out, n_chunks=3
+        )
+        assert all(r.skipped for r in res)
