@@ -135,6 +135,8 @@ SKEW_TARGET_ROWS = 25  # rows-per-partition target for per-key salt factors
 SESSION_GAP_S = 7200  # inactivity gap that splits user sessions
 HOST_CAP_N = 5  # max docs kept per synthetic host (per-host cap gate)
 REP_LINE_WORDS = 8  # chunk width standing in for "lines" (repetition gate)
+PACK_BUDGET = 512  # tokens per packed training example (seq-packing gate)
+PACK_SHARD = 1000  # docs per prefix-sum shard (forces multi-shard at sf0.01+)
 PR_ITERS = 3  # unrolled integer-PageRank iterations
 PR_DAMPING = 85  # damping as integer percent
 PR_SCALE = 1_000_000  # fixed-point scale (rank 1.0 == 1e6)
@@ -969,6 +971,22 @@ def q_corpus_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-boundary sequence packing of the corpus into
+    PACK_BUDGET-token training examples — distributed two-phase prefix
+    sum (never a global single-partition window)."""
+    from gliner_spark.operators.seqpack import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", word_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, budget=PACK_BUDGET, shard_size=PACK_SHARD
+    ).select(
+        "doc_id", "n_tokens", "cum_before", "example_id", "offset_in_example"
+    )
+
+
 def q_web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(href, anchor-text) pairs from the synthesized markup — anchor
     bodies carry inline tags + entities that must normalize away."""
@@ -1063,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_graph": q_web_link_graph,
         "text_repetition": q_text_repetition,
         "corpus_host_cap": q_corpus_host_cap,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         "web_anchor_texts": q_web_anchor_texts,
         "crawl_delta": q_crawl_delta,
     }
@@ -1951,4 +1970,24 @@ SELECT host, doc_id, rank FROM r WHERE rank <= {HOST_CAP_N}
 """,
         "web_anchor_texts": _web_anchor_texts_sql(),
         "crawl_delta": _CRAWL_DELTA_SQL,
+        # fixed-boundary packing is a pure exclusive prefix sum — the
+        # oracle states it with one window; the Spark side must reach
+        # the same integers through the two-phase shard decomposition
+        "corpus_pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_before,
+       cum_before // {PACK_BUDGET} AS example_id,
+       cum_before % {PACK_BUDGET} AS offset_in_example
+FROM c
+""",
     }

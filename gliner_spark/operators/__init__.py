@@ -18,11 +18,14 @@ carries its scale design notes and reference citations):
   graph_stats  degree statistics + fixed-point integer PageRank over triples
   sessions     gap-based event sessionization (one-shuffle window plan)
   multimodal   binary media columns: metadata, stubbed decode, frames
+  seqpack      fixed-budget sequence packing into training examples
+               (two-phase distributed prefix sum)
 """
 
 from .canonicalize import canonical_entities, canonicalize_triples, connected_components
 from .corpus import corpus_keep_list
 from .decontaminate import contamination_flags, decontaminate
+from .seqpack import example_stats, pack_sequences
 from .dedup import (
     embedding_cosine_pairs,
     exact_duplicates,
@@ -73,6 +76,8 @@ __all__ = [
     "classify_documents",
     "connected_components",
     "contamination_flags",
+    "example_stats",
+    "pack_sequences",
     "corpus_keep_list",
     "decode_media",
     "decontaminate",

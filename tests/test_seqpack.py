@@ -1,0 +1,94 @@
+"""Sequence packing (training-example assembly): python-oracle
+agreement, shard invariance, example stats, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.seqpack import example_stats, pack_sequences
+
+
+def py_pack(rows, budget):
+    """Independent reference: plain running sum over sorted ids."""
+    out = {}
+    cum = 0
+    for i, n in sorted(rows):
+        out[i] = (cum, cum // budget, cum % budget)
+        cum += n
+    return out
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+class TestPackSequences:
+    ROWS = [(i * 7 % 97, (i * 13) % 40 + 1) for i in range(97)]  # shuffled ids
+
+    def test_matches_python_oracle(self, spark):
+        got = {
+            r.doc_id: (r.cum_before, r.example_id, r.offset_in_example)
+            for r in pack_sequences(
+                docs_df(spark, self.ROWS), budget=64, shard_size=10
+            ).collect()
+        }
+        assert got == py_pack(self.ROWS, 64)
+
+    def test_shard_size_never_changes_results(self, spark):
+        base = None
+        for shard in (1, 7, 50, 10_000):  # incl. one-doc and one-shard
+            got = sorted(
+                (r.doc_id, r.cum_before, r.example_id)
+                for r in pack_sequences(
+                    docs_df(spark, self.ROWS), budget=100, shard_size=shard
+                ).collect()
+            )
+            base = base or got
+            assert got == base, shard
+
+    def test_example_stats(self, spark):
+        budget = 64
+        packed = pack_sequences(
+            docs_df(spark, self.ROWS), budget=budget, shard_size=10
+        )
+        stats = {
+            r.example_id: (r.n_docs, r.n_tokens_example, r.overflow)
+            for r in example_stats(packed, budget).collect()
+        }
+        # independent recomputation
+        oracle = py_pack(self.ROWS, budget)
+        from collections import defaultdict
+
+        by_ex = defaultdict(list)
+        for i, n in self.ROWS:
+            by_ex[oracle[i][1]].append((oracle[i][0], n))
+        for ex, members in by_ex.items():
+            start = min(c for c, _ in members)
+            tot = sum(n for _, n in members)
+            want_overflow = max(0, start + tot - (ex + 1) * budget)
+            assert stats[ex] == (len(members), tot, want_overflow), ex
+        # every example except possibly the last overflows OR the next
+        # example starts exactly at its boundary — no token is lost
+        total = sum(n for _, n in self.ROWS)
+        assert sum(t for _, t, _ in stats.values()) == total
+
+    def test_degenerate_inputs(self, spark):
+        assert pack_sequences(docs_df(spark, []), budget=10).count() == 0
+        one = pack_sequences(docs_df(spark, [(5, 3)]), budget=10).first()
+        assert (one.cum_before, one.example_id, one.offset_in_example) == (0, 0, 0)
+        with pytest.raises(ValueError):
+            pack_sequences(docs_df(spark, [(1, 1)]), budget=0)
+
+    def test_no_global_window_over_corpus(self, spark):
+        """The prefix sum must never plan a single-partition window
+        over the corpus: the only Exchange SinglePartition feeds the
+        shard-count-sized offsets AGGREGATE; the corpus-side window is
+        hash-partitioned by _shard; the offsets come back broadcast."""
+        phys = (
+            pack_sequences(docs_df(spark, self.ROWS), budget=64, shard_size=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert phys.count("Exchange SinglePartition") == 1
+        assert "hashpartitioning(_shard" in phys
+        assert "BroadcastHashJoin" in phys
