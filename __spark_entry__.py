@@ -137,6 +137,8 @@ HOST_CAP_N = 5  # max docs kept per synthetic host (per-host cap gate)
 REP_LINE_WORDS = 8  # chunk width standing in for "lines" (repetition gate)
 PACK_BUDGET = 512  # tokens per packed training example (seq-packing gate)
 PACK_SHARD = 1000  # docs per prefix-sum shard (forces multi-shard at sf0.01+)
+CHUNK_W = 32  # words per training-window chunk (doc-chunking gate)
+CHUNK_S = 24  # chunk stride (< CHUNK_W: windows overlap by 8 words)
 PR_ITERS = 3  # unrolled integer-PageRank iterations
 PR_DAMPING = 85  # damping as integer percent
 PR_SCALE = 1_000_000  # fixed-point scale (rank 1.0 == 1e6)
@@ -987,6 +989,16 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking of long documents (the
+    pre-packing split; stride < window so windows overlap)."""
+    from gliner_spark.operators.seqpack import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), window=CHUNK_W, stride=CHUNK_S
+    )
+
+
 def q_web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(href, anchor-text) pairs from the synthesized markup — anchor
     bodies carry inline tags + entities that must normalize away."""
@@ -1082,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "corpus_host_cap": q_corpus_host_cap,
         "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_chunk_windows": q_corpus_chunk_windows,
         "web_anchor_texts": q_web_anchor_texts,
         "crawl_delta": q_crawl_delta,
     }
@@ -1989,5 +2002,21 @@ SELECT doc_id, n_tokens, cum_before,
        cum_before // {PACK_BUDGET} AS example_id,
        cum_before % {PACK_BUDGET} AS offset_in_example
 FROM c
+""",
+        "corpus_chunk_windows": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (SELECT doc_id, ws,
+        CASE WHEN len(ws) <= {CHUNK_W} THEN 1
+             ELSE (len(ws) - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S} + 1
+        END AS nc
+      FROM t)
+SELECT doc_id,
+       CAST(u.i AS INT) AS chunk_idx,
+       array_to_string(
+         list_slice(ws, u.i*{CHUNK_S}+1, u.i*{CHUNK_S}+{CHUNK_W}), ' '
+       ) AS chunk_text,
+       CAST(least({CHUNK_W}, len(ws) - u.i*{CHUNK_S}) AS INT)
+         AS n_words_chunk
+FROM n, unnest(range(n.nc)) AS u(i)
 """,
     }

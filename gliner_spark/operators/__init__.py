@@ -25,7 +25,7 @@ carries its scale design notes and reference citations):
 from .canonicalize import canonical_entities, canonicalize_triples, connected_components
 from .corpus import corpus_keep_list
 from .decontaminate import contamination_flags, decontaminate
-from .seqpack import example_stats, pack_sequences
+from .seqpack import chunk_documents, example_stats, pack_sequences
 from .dedup import (
     embedding_cosine_pairs,
     exact_duplicates,
@@ -75,6 +75,7 @@ __all__ = [
     "canonicalize_triples",
     "classify_documents",
     "connected_components",
+    "chunk_documents",
     "contamination_flags",
     "example_stats",
     "pack_sequences",

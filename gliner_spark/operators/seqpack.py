@@ -114,6 +114,66 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    window: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into (optionally overlapping) word-window
+    chunks — the step before :func:`pack_sequences` when documents
+    exceed the training context (and the long-document half of the
+    chunk/pack pair: chunk splits, pack concatenates).
+
+    Chunk ``i`` covers words ``[i*stride, i*stride + window)``;
+    chunks are emitted while ``i*stride < n_words``, and a document
+    with ``n_words <= window`` yields exactly one chunk (itself).
+    ``stride`` defaults to ``window`` (no overlap). All integer math
+    (``(L - window + stride - 1) DIV stride + 1`` chunks) so the
+    DuckDB oracle reproduces counts exactly.
+
+    One map stage + the explode (row multiplication ~L/stride, the
+    point of the operator); the token array is staged through a
+    projection so the per-chunk slice lambda reads an attribute (see
+    functions/repetition.py for why).
+
+    Returns (id, chunk_idx, chunk_text, n_words_chunk).
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    stride = window if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    )
+    ws = F.col("_ws")
+    n = F.size(ws)
+    w, s = F.lit(window), F.lit(stride)
+    n_chunks = F.when(n <= w, F.lit(1)).otherwise(
+        F.expr(
+            f"((size(_ws) - {int(window)} + {int(stride)} - 1) "
+            f"div {int(stride)}) + 1"
+        )
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(ws, i * s + F.lit(1), w), " ").alias(
+                "chunk_text"
+            ),
+            F.least(w, n - i * s).cast("int").alias("n_words_chunk"),
+        ),
+    )
+    return staged.select(
+        id_col, F.explode(chunks).alias("_c")
+    ).select(
+        id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_words_chunk"
+    )
+
+
 def example_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-example fill statistics over ``pack_sequences`` output:
     (example_id, n_docs, n_tokens, overflow) — ``overflow`` is the

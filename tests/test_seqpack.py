@@ -92,3 +92,47 @@ class TestPackSequences:
         assert phys.count("Exchange SinglePartition") == 1
         assert "hashpartitioning(_shard" in phys
         assert "BroadcastHashJoin" in phys
+
+
+class TestChunkDocuments:
+    def py_chunks(self, text, w, s):
+        ws = text.split(" ")
+        L = len(ws)
+        nc = 1 if L <= w else (L - w + s - 1) // s + 1
+        return [
+            (i, " ".join(ws[i * s : i * s + w]), min(w, L - i * s))
+            for i in range(nc)
+        ]
+
+    def test_matches_python_oracle(self, spark):
+        from gliner_spark.operators.seqpack import chunk_documents
+
+        texts = [
+            " ".join(f"w{j % 13}" for j in range(n))
+            for n in (1, 7, 8, 9, 15, 16, 17, 30, 100)
+        ] + [""]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {}
+        for r in chunk_documents(df, window=8, stride=5).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.chunk_text, r.n_words_chunk)
+            )
+        for i, t in enumerate(texts):
+            assert sorted(got[i]) == self.py_chunks(t, 8, 5), (i, t)
+
+    def test_no_overlap_default_covers_exactly(self, spark):
+        from gliner_spark.operators.seqpack import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"x{j}" for j in range(25)))],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r.chunk_idx, r.n_words_chunk)
+            for r in chunk_documents(df, window=10).collect()
+        )
+        assert rows == [(0, 10), (1, 10), (2, 5)]
+        with pytest.raises(ValueError):
+            chunk_documents(df, window=0)
