@@ -195,3 +195,64 @@ class TestLayoutGuard:
             pages, transform, out, n_chunks=3
         )
         assert all(r.skipped for r in res)
+
+
+class TestIncrementalWithPredPartitions:
+    def test_refresh_equals_from_scratch_pred_partitioned(
+        self, spark, tmp_path
+    ):
+        """Incremental refresh with extra_partition_cols=("pred",): the
+        chunk-dir delete must erase every pred subdirectory of an
+        affected chunk, and the rewrite must land pred-partitioned —
+        refresh ≡ from-scratch on the predicate-partitioned layout."""
+        from gliner_spark.operators.extract import extract_triples
+
+        def tri(df):
+            return extract_triples(
+                df,
+                labels=["person", "organization"],
+                relations=["works_at"],
+                gazetteer={
+                    "john smith": "person",
+                    "acme corporation": "organization",
+                },
+                patterns=[("person", "works_at", "organization")],
+            )
+
+        old = pages_df(spark, 40).cache()
+        gone = old.select("url").orderBy("url").limit(1).collect()[0].url
+        new = old.where(F.col("url") != gone).withColumn(
+            "text",
+            F.concat(
+                F.col("text"), F.lit(" john smith works at acme corporation")
+            ),
+        ).cache()
+        out = str(tmp_path / "t")
+        man = str(tmp_path / "m")
+        RunManifest(spark, man, "base").run(
+            old, tri, out, n_chunks=3, extra_partition_cols=("pred",)
+        )
+        RunManifest(spark, man, "inc").run_incremental(
+            old, new, tri, out, n_chunks=3, extra_partition_cols=("pred",)
+        )
+        got = sorted(
+            map(tuple, spark.read.parquet(out).drop("chunk").collect())
+        )
+        scratch = str(tmp_path / "s")
+        RunManifest(spark, str(tmp_path / "m2"), "s").run(
+            new, tri, scratch, n_chunks=3, extra_partition_cols=("pred",)
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(scratch).drop("chunk").collect())
+        )
+        assert got == want and len(got) > 0
+        # pred subdirectories exist under a chunk dir
+        import os
+
+        chunk_dirs = [
+            d for d in os.listdir(out) if d.startswith("chunk=")
+        ]
+        assert any(
+            any(p.startswith("pred=") for p in os.listdir(os.path.join(out, d)))
+            for d in chunk_dirs
+        )
