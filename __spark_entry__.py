@@ -700,6 +700,9 @@ def q_dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KGE_PERSISTED: list = []  # at most one cached extraction (see below)
+
+
 def q_kg_triples_kge_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KGE triple-plausibility refinement (M14): the gazetteer triples
     ranked by the TuckER interaction over mean-pooled surface
@@ -711,12 +714,19 @@ def q_kg_triples_kge_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running the Python extraction stage for each read doubles the
     query's only real cost. At production scale the triples are a
     materialized graph table (sinks/graph.py) and refinement reads the
-    parquet — persist() is the bench-scale stand-in for that."""
+    parquet — persist() is the bench-scale stand-in for that. The
+    PREVIOUS invocation's cached copy is released first, so repeated
+    bench runs in one session hold at most one copy in storage memory
+    (an unbounded chain of persisted extraction outputs would evict
+    other cached data and skew later queries)."""
     from gliner_spark.operators.kge_scores import score_triples
 
+    while _KGE_PERSISTED:
+        _KGE_PERSISTED.pop().unpersist()
     t = q_kg_triples(spark, sf_dir).select(
         "doc_id", "subj_text", "pred", "obj_text"
     ).persist()
+    _KGE_PERSISTED.append(t)
     scored = score_triples(t, method="tucker")
     w = Window.partitionBy("doc_id", "pred").orderBy(
         F.desc("kge_score"), "subj_text", "obj_text"

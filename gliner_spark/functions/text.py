@@ -284,27 +284,20 @@ def top_terms(
 
     Returns (group, term, n, rank).
     """
-    from pyspark.sql import Window
+    from ..plans.topk import two_phase_topk
 
     words = df.select(
         F.col(group_col).alias("grp"),
         F.explode(word_tokens(F.col(text_col))).alias("term"),
     ).where(F.length("term") >= min_len)
     counts = words.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("n"))
-    # lossless two-phase top-k: a global top-k term is necessarily
-    # top-k within its hash bucket, so prune each (grp, bucket) to k
-    # rows first — the final per-group window then sorts <= 64k rows
-    # instead of the group's whole vocabulary on one task
-    buckets = 64
-    w1 = Window.partitionBy("grp", "_b").orderBy(F.desc("n"), F.asc("term"))
-    pruned = (
-        counts.withColumn("_b", F.pmod(F.hash("term"), F.lit(buckets)))
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= k)
-    )
-    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("term"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("grp").alias(group_col), "term", "n", "rank")
-    )
+    # shared lossless two-phase top-k (plans.topk): the final
+    # per-group window sorts <= 64k rows instead of the group's whole
+    # vocabulary on one task
+    return two_phase_topk(
+        counts,
+        key_cols=["grp"],
+        order_cols=[F.desc("n"), F.asc("term")],
+        k=k,
+        bucket_on="term",
+    ).select(F.col("grp").alias(group_col), "term", "n", "rank")

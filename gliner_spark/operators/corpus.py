@@ -87,29 +87,22 @@ def cap_per_key(
 
     The naive ``row_number() OVER (PARTITION BY host)`` puts a hot
     host's entire row set on one task — exactly the skew the north
-    rule calls out (a crawl's host distribution is Zipfian). This is
-    the lossless two-phase form (same argument as
-    ``functions.text.top_terms``): a row in the global top-n of its
-    key is necessarily in the top-n of its (key, hash-bucket) slice,
-    so phase 1 prunes each of the ``buckets`` slices to ``n`` rows and
-    the final per-key window sorts ≤ ``n·buckets`` candidates instead
-    of the key's whole row set.
+    rule calls out (a crawl's host distribution is Zipfian). Delegates
+    to the shared lossless two-phase top-k (``plans.topk`` — the
+    losslessness argument lives there, once, for this and
+    ``functions.text.top_terms``).
 
     Returns the input columns plus ``rank`` (1-based within key).
     Deterministic when ``order_col`` is unique per key (it's the
     tiebreak AND the sort key).
     """
-    from pyspark.sql import Window
+    from ..plans.topk import two_phase_topk
 
-    w1 = Window.partitionBy(key_col, "_b").orderBy(F.asc(order_col))
-    pruned = (
-        df.withColumn("_b", F.pmod(F.hash(F.col(order_col)), F.lit(buckets)))
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= n)
-        .drop("_b", "_r1")
-    )
-    w = Window.partitionBy(key_col).orderBy(F.asc(order_col))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= n)
+    return two_phase_topk(
+        df,
+        key_cols=[key_col],
+        order_cols=[F.asc(order_col)],
+        k=n,
+        bucket_on=order_col,
+        buckets=buckets,
     )

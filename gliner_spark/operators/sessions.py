@@ -30,7 +30,30 @@ and the hot-key split is left to the caller's salting policy
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def ts_epoch_ms(ts_col: str) -> Column:
+    """Epoch milliseconds of a naive (NTZ) timestamp, computed from
+    its WALL-CLOCK parts — genuinely session-timezone-free.
+
+    The obvious forms are not: ``timestampdiff``/``unix_timestamp``
+    coerce an NTZ operand through the session timezone, so under e.g.
+    America/New_York an event at the nonexistent spring-forward wall
+    time 02:20 lands 60 minutes off (measured) and gap math diverges
+    between sessions run under different timezones. Date + wall-part
+    arithmetic never consults the timezone; the DuckDB oracle's
+    ``epoch_ms(naive ts)`` is the same function. Sub-second precision
+    kept via the decimal SECOND field. This single definition is the
+    bit-exactness contract shared by the batch operator, the streaming
+    operator, and the SQL oracle — do not inline copies.
+    """
+    return F.expr(
+        f"unix_date(cast({ts_col} as date)) * 86400000L"
+        f" + extract(HOUR FROM {ts_col}) * 3600000L"
+        f" + extract(MINUTE FROM {ts_col}) * 60000L"
+        f" + cast(extract(SECOND FROM {ts_col}) * 1000 as long)"
+    )
 
 
 def sessionize(
@@ -47,13 +70,10 @@ def sessionize(
     duration_ms) — session_id is 1-based in event-time order.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    # Parquet event timestamps are naive (TIMESTAMP_NTZ); diff against the
-    # NTZ epoch to get ms without any session-timezone dependence. (An LTZ
-    # input is first cast to NTZ via the session tz — documented caveat.)
-    ms = F.expr(
-        f"timestampdiff(MILLISECOND, to_timestamp_ntz('1970-01-01 00:00:00'), "
-        f"cast({ts_col} as timestamp_ntz))"
-    )
+    # Parquet event timestamps are naive (TIMESTAMP_NTZ); ts_epoch_ms
+    # computes epoch ms from the wall-clock parts, with NO session-
+    # timezone dependence (see its docstring — timestampdiff has one).
+    ms = ts_epoch_ms(ts_col)
     gap_ms = gap_seconds * 1000
     with_break = events.select(
         F.col(user_col).alias("user_id"),

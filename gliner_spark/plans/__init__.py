@@ -8,8 +8,10 @@ from .skew import (
     skew_profile,
 )
 from .manifest import RunManifest
+from .topk import two_phase_topk
 
 __all__ = [
+    "two_phase_topk",
     "RunManifest",
     "adaptive_salted_repartition",
     "build_session",

@@ -103,9 +103,20 @@ def adaptive_salted_repartition(
     per-key locality).
     """
     profile = skew_profile(df, keys=keys, target_rows=target_rows).select(
-        *keys, "salt_buckets"
+        *[F.col(k).alias(f"__p_{k}") for k in keys], "salt_buckets"
     )
-    out = df.join(F.broadcast(profile), on=list(keys))
+    # null-safe equality: skew_profile's groupBy emits a row for the
+    # NULL key group, and a plain equi-join (NULL != NULL) would
+    # silently DROP every NULL-keyed corpus row — e.g. docs with no
+    # lang before language-ID runs. <=> is still hash-joinable, so
+    # the broadcast join shape is unchanged.
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__p_{k}"))
+        cond = c if cond is None else (cond & c)
+    out = df.join(F.broadcast(profile), cond).drop(
+        *[f"__p_{k}" for k in keys]
+    )
     salt = F.pmod(F.hash(F.col(id_col)), F.col("salt_buckets")).alias("__salt")
     key_cols = [F.col(k) for k in keys]
     if num_partitions:

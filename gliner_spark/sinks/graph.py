@@ -108,11 +108,22 @@ def write_graph_table(
     # isolation just as much as the multi-column case.
     own_rows = out.select(*part_cols).distinct().collect()
     for i, c in enumerate(part_cols):
-        vals = list({r[i] for r in own_rows})
-        committed = committed.where(F.col(c).isin(vals))
+        vals = {r[i] for r in own_rows}
+        # NULL-aware: a NULL partition value lands in the hive default
+        # partition and reads back as NULL; isin() never matches NULL,
+        # so without the explicit isNull branch those committed rows
+        # would be excluded and the audit row would under-count.
+        cond = F.col(c).isin([v for v in vals if v is not None])
+        if None in vals:
+            cond = cond | F.col(c).isNull()
+        committed = committed.where(cond)
     if len(part_cols) > 1:
         own = spark.createDataFrame(own_rows, out.select(*part_cols).schema)
-        committed = committed.join(F.broadcast(own), list(part_cols), "left_semi")
+        cond = None
+        for c in part_cols:
+            eq = committed[c].eqNullSafe(own[c])
+            cond = eq if cond is None else (cond & eq)
+        committed = committed.join(F.broadcast(own), cond, "left_semi")
     wall_ms = int((time.time() - t0) * 1000)
     lineage = (
         committed.groupBy(partition_col)

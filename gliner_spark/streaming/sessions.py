@@ -48,17 +48,19 @@ def streaming_sessionize(
     (matching the batch operator's columns; ``session_window.end`` —
     last event + gap — is deliberately not exposed).
     """
-    ms = F.expr(
-        f"timestampdiff(MILLISECOND, to_timestamp_ntz('1970-01-01 00:00:00'), "
-        f"cast({ts_col} as timestamp_ntz))"
-    )
-    # Watermarks/session windows require TIMESTAMP (LTZ); event files use
-    # naive NTZ. The LTZ cast (session tz) is monotonic, so window
-    # MEMBERSHIP is tz-independent; emitted VALUES stay on the NTZ epoch
-    # math above, so they are tz-free and match the batch operator.
-    with_event_ts = stream_df.withColumn(
-        "__event_ts", F.col(ts_col).cast("timestamp")
-    )
+    from ..operators.sessions import ts_epoch_ms
+
+    ms = ts_epoch_ms(ts_col)
+    # Watermarks/session windows require TIMESTAMP (an instant); event
+    # files use naive NTZ. Build the instant FROM the tz-free epoch-ms
+    # value — timestamp_millis(ms) — NOT via cast(ts as timestamp):
+    # the cast interprets the NTZ value in the session timezone, and
+    # around a DST spring-forward two NTZ values 30 minutes apart map
+    # to instants ~90 minutes apart (the skipped hour), which would
+    # split sessions the batch operator (pure NTZ math) keeps together.
+    # timestamp_millis makes inter-event gaps equal the NTZ deltas in
+    # EVERY session timezone, so window membership matches batch.
+    with_event_ts = stream_df.withColumn("__event_ts", F.timestamp_millis(ms))
     return (
         with_event_ts.withWatermark("__event_ts", watermark)
         .groupBy(

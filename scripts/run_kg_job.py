@@ -157,7 +157,12 @@ def main():
             )
         )
         pr.write.mode("overwrite").parquet(f"{args.out}_pagerank")
-        summary["analytics_entities"] = deg.count()
+        # count the WRITTEN derived table (small, metadata-cheap) —
+        # deg.count() would re-execute the whole degree aggregation
+        # over the full triple table a second time
+        summary["analytics_entities"] = spark.read.parquet(
+            f"{args.out}_degrees"
+        ).count()
     print(json.dumps(summary))
     spark.stop()
 

@@ -201,7 +201,10 @@ def measure_streaming_neardup(n_epochs: int | None = None) -> list:
     spark = bench.build_session(8)
     docs = spark.read.parquet(f"{SCALED_DIR}/documents.parquet")
     E = n_epochs or min(REPLICAS, 8)
-    half = E // 2
+    # ceil: with odd E, every replay index e-half stays < half, so the
+    # second half only ever REPLAYS fresh epochs (floor would feed a
+    # never-seen replica labeled replay=True, falsifying the table)
+    half = (E + 1) // 2
     rows = []
     for e in range(E):
         r = e if e < half else e - half  # second half replays first half

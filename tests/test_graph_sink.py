@@ -121,3 +121,24 @@ class TestGraphSink:
         for pred in preds:
             files = glob.glob(f"{path}/pred={pred}/*.parquet")
             assert len(files) >= 1
+
+
+def test_null_pred_partition_counted(spark, triples, tmp_path):
+    """A NULL predicate lands in the hive default partition and reads
+    back as NULL; the owned-partition filter must be null-aware or the
+    audit row under-counts (isin() never matches NULL)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "g")
+    with_null = triples.withColumn(
+        "pred",
+        F.when(F.col("subj_start") % 2 == 0, F.col("pred")).otherwise(
+            F.lit(None)
+        ),
+    )
+    n_null = with_null.where(F.col("pred").isNull()).count()
+    assert n_null > 0
+    lineage = write_graph_table(with_null, path, run_id="rn")
+    rows = {r.pred: r.n_rows for r in lineage.collect()}
+    assert rows.get(None) == n_null
+    assert sum(rows.values()) == with_null.count()

@@ -115,3 +115,20 @@ class TestSkewProfile:
 
         with _pytest.raises(ValueError):
             skew_profile(df, target_rows=0)
+
+
+def test_adaptive_salting_keeps_null_keyed_rows(spark):
+    """NULL keys (e.g. lang before language-ID) must survive the
+    profile join — skew_profile counts the NULL group, and the join is
+    null-safe (a plain equi-join silently dropped these rows)."""
+    from gliner_spark.plans.skew import adaptive_salted_repartition
+
+    df = spark.createDataFrame(
+        [("u1", "web", None), ("u2", "web", "en"), ("u3", None, None)],
+        "url string, source string, lang string",
+    )
+    out = adaptive_salted_repartition(df, keys=("source", "lang"), id_col="url")
+    assert sorted(r.url for r in out.collect()) == ["u1", "u2", "u3"]
+    from pyspark.sql import functions as F
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # null-safe join stays broadcast-hash

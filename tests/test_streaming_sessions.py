@@ -94,3 +94,51 @@ class TestStreamingSessionize:
         recs = got.collect()
         assert len(recs) == 1  # only the first, watermark-closed session
         assert recs[0]["n_events"] == 2
+
+
+class TestDstGapPreservation:
+    def test_spring_forward_does_not_split_sessions(self, spark, tmp_path):
+        """Under a DST session timezone, NTZ events 30 minutes apart
+        across the spring-forward hour must stay in ONE session with a
+        45-minute gap — a cast-to-LTZ event time would map them ~90
+        minutes apart (the skipped hour) and split them, diverging
+        from the batch operator's tz-free math."""
+        src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+        rows = [
+            (1, dt.datetime(2024, 3, 10, 1, 50), 1),  # before 2am EST
+            (2, dt.datetime(2024, 3, 10, 2, 20), 1),  # inside skipped hour
+            # sentinel far ahead so the watermark finalizes the session
+            (3, dt.datetime(2024, 3, 12, 0, 0), 99),
+        ]
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        # write the NTZ parquet under UTC: createDataFrame under a DST
+        # tz would already shift the nonexistent 02:20 wall time to
+        # 03:20 during python→NTZ conversion, masking what this test
+        # isolates (the operator's event-time construction)
+        spark.createDataFrame(rows, SCHEMA).write.parquet(src)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            stream = spark.readStream.schema(SCHEMA).parquet(src)
+            q = (
+                streaming_sessionize(
+                    stream, gap_seconds=45 * 60, watermark="1 hour"
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            got = spark.read.parquet(out).where("user_id = 1").collect()
+            assert len(got) == 1 and got[0].n_events == 2
+            assert got[0].duration_ms == 30 * 60 * 1000
+            # batch operator agrees (read the same parquet — a fresh
+            # createDataFrame under NY tz would re-mangle the input)
+            batch = sessionize(
+                spark.read.parquet(src), gap_seconds=45 * 60
+            ).where("user_id = 1").collect()
+            assert len(batch) == 1 and batch[0].n_events == 2
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
