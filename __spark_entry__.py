@@ -722,7 +722,10 @@ def q_kg_triples_kge_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gliner_spark.operators.kge_scores import score_triples
 
     while _KGE_PERSISTED:
-        _KGE_PERSISTED.pop().unpersist()
+        try:
+            _KGE_PERSISTED.pop().unpersist()
+        except Exception:
+            pass  # owning SparkSession already stopped — stale handle
     t = q_kg_triples(spark, sf_dir).select(
         "doc_id", "subj_text", "pred", "obj_text"
     ).persist()

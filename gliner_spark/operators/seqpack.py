@@ -126,12 +126,17 @@ def chunk_documents(
     exceed the training context (and the long-document half of the
     chunk/pack pair: chunk splits, pack concatenates).
 
-    Chunk ``i`` covers words ``[i*stride, i*stride + window)``;
-    chunks are emitted while ``i*stride < n_words``, and a document
-    with ``n_words <= window`` yields exactly one chunk (itself).
-    ``stride`` defaults to ``window`` (no overlap). All integer math
-    (``(L - window + stride - 1) DIV stride + 1`` chunks) so the
-    DuckDB oracle reproduces counts exactly.
+    Chunk ``i`` covers words ``[i*stride, i*stride + window)``. A
+    document with ``n_words <= window`` yields exactly one chunk
+    (itself). ``stride`` defaults to ``window`` (no overlap). With
+    ``stride <= window`` every word is covered and the LAST chunk is
+    the one that reaches the final word — ``(L - window + stride - 1)
+    DIV stride + 1`` chunks (no redundant tail windows past the end).
+    With ``stride > window`` chunks SAMPLE the document (gaps between
+    windows), emitted while the start lies inside it — ``(L + stride
+    - 1) DIV stride`` chunks, so no chunk is ever empty and
+    ``n_words_chunk`` is always ≥ 1. All integer math, so the DuckDB
+    oracle reproduces counts exactly.
 
     One map stage + the explode (row multiplication ~L/stride, the
     point of the operator); the token array is staged through a
@@ -151,12 +156,16 @@ def chunk_documents(
     ws = F.col("_ws")
     n = F.size(ws)
     w, s = F.lit(window), F.lit(stride)
-    n_chunks = F.when(n <= w, F.lit(1)).otherwise(
-        F.expr(
+    if stride <= window:
+        tail_expr = (
             f"((size(_ws) - {int(window)} + {int(stride)} - 1) "
             f"div {int(stride)}) + 1"
         )
-    ).cast("int")
+    else:  # gapped sampling: one chunk per start inside the document
+        tail_expr = f"(size(_ws) + {int(stride)} - 1) div {int(stride)}"
+    n_chunks = (
+        F.when(n <= w, F.lit(1)).otherwise(F.expr(tail_expr)).cast("int")
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
         lambda i: F.struct(

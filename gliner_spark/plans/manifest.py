@@ -85,7 +85,9 @@ class RunManifest:
             f"{self.manifest_path}/_layout.json"
         )
 
-    def _check_layout(self, n_chunks: int, key_col: str) -> None:
+    def _check_layout(
+        self, n_chunks: int, key_col: str, extra_partition_cols: tuple = ()
+    ) -> None:
         """Record the chunking layout beside the manifest on first run
         and REFUSE to run under a different one. Chunk membership is
         ``pmod(hash(key), n_chunks)``: rerunning (and especially
@@ -94,6 +96,9 @@ class RunManifest:
         than the directories on disk hold — unchanged docs would
         appear in two chunk dirs and gone docs would survive in
         never-deleted ones, silently breaking refresh ≡ from-scratch.
+        ``extra_partition_cols`` is part of the layout too: a resume
+        that writes chunk=k flat next to chunk=j/pred=x/ nested dirs
+        makes partition discovery fail (or silently drop the column).
         """
         import json
 
@@ -110,18 +115,27 @@ class RunManifest:
             finally:
                 stream.close()
             saved = json.loads(raw.decode("utf-8"))
-            if saved["n_chunks"] != n_chunks or saved["key_col"] != key_col:
+            want = {
+                "n_chunks": n_chunks,
+                "key_col": key_col,
+                "extra_partition_cols": list(extra_partition_cols),
+            }
+            saved.setdefault("extra_partition_cols", [])
+            if saved != want:
                 raise ValueError(
                     f"manifest at {self.manifest_path} was built with "
-                    f"n_chunks={saved['n_chunks']}, key_col="
-                    f"{saved['key_col']!r}; refusing to run with "
-                    f"n_chunks={n_chunks}, key_col={key_col!r} — chunk "
-                    "membership would no longer match the directories "
-                    "on disk (delete the output + manifest to re-chunk)"
+                    f"layout {saved}; refusing to run with {want} — "
+                    "chunk membership / directory structure would no "
+                    "longer match what is on disk (delete the output "
+                    "+ manifest to re-chunk)"
                 )
             return
         payload = json.dumps(
-            {"n_chunks": n_chunks, "key_col": key_col}
+            {
+                "n_chunks": n_chunks,
+                "key_col": key_col,
+                "extra_partition_cols": list(extra_partition_cols),
+            }
         ).encode("utf-8")
         stream = fs.create(path, True)
         try:
@@ -162,7 +176,7 @@ class RunManifest:
         it rewrites.
         """
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        self._check_layout(n_chunks, key_col)
+        self._check_layout(n_chunks, key_col, extra_partition_cols)
         done = self.completed_chunks()
         results: List[ChunkResult] = []
         chunked = source.withColumn(
@@ -228,6 +242,9 @@ class RunManifest:
         """
         from ..operators.crawldelta import crawl_delta
 
+        # guard FIRST: a layout mismatch must refuse before the delta
+        # pays its two corpus scans + join (minutes at real scale)
+        self._check_layout(n_chunks, key_col, extra_partition_cols)
         delta = crawl_delta(
             prev_source, source, id_col=key_col, text_col=text_col
         )
@@ -243,7 +260,6 @@ class RunManifest:
         self.spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
-        self._check_layout(n_chunks, key_col)
         done_here = self.completed_chunks(run_id_only=True)
         results: List[ChunkResult] = []
         chunked = source.withColumn(

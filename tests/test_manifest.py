@@ -182,13 +182,20 @@ class TestLayoutGuard:
         out = str(tmp_path / "t")
         man = str(tmp_path / "m")
         RunManifest(spark, man, "r1").run(pages, transform, out, n_chunks=3)
-        with pytest.raises(ValueError, match="n_chunks=3"):
+        with pytest.raises(ValueError, match="refusing to run"):
             RunManifest(spark, man, "r2").run(
                 pages, transform, out, n_chunks=5
             )
         with pytest.raises(ValueError, match="key_col"):
             RunManifest(spark, man, "r3").run_incremental(
                 pages, pages, transform, out, n_chunks=3, key_col="text"
+            )
+        # partition-column set is part of the layout too: a flat rerun
+        # against a pred-partitioned table would mix directory shapes
+        with pytest.raises(ValueError, match="extra_partition_cols"):
+            RunManifest(spark, man, "r5").run(
+                pages, transform, out, n_chunks=3,
+                extra_partition_cols=("pred",),
             )
         # same layout still resumes fine
         res = RunManifest(spark, man, "r4").run(

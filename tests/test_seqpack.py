@@ -136,3 +136,25 @@ class TestChunkDocuments:
         assert rows == [(0, 10), (1, 10), (2, 5)]
         with pytest.raises(ValueError):
             chunk_documents(df, window=0)
+
+    def test_gapped_sampling_stride_gt_window(self, spark):
+        """stride > window = window SAMPLING with gaps: chunks are
+        emitted only while the start is inside the document, so no
+        chunk is ever empty and n_words_chunk >= 1 (the covering
+        formula would emit a degenerate past-the-end tail chunk)."""
+        from gliner_spark.operators.seqpack import chunk_documents
+
+        for L in (3, 7, 19, 20, 21, 30):
+            df = spark.createDataFrame(
+                [(1, " ".join(f"x{j}" for j in range(L)))],
+                "doc_id long, text string",
+            )
+            rows = sorted(
+                (r.chunk_idx, r.chunk_text, r.n_words_chunk)
+                for r in chunk_documents(df, window=5, stride=10).collect()
+            )
+            want_n = 1 if L <= 5 else (L + 9) // 10
+            assert len(rows) == want_n, L
+            for i, text, nw in rows:
+                assert nw >= 1 and text != "", (L, i)
+                assert nw == min(5, L - i * 10), (L, i)
