@@ -47,6 +47,12 @@ def parse_args():
         "cost is O(changed fraction), not O(corpus)",
     )
     p.add_argument(
+        "--warc", action="store_true",
+        help="treat --pages as a directory of raw WARC archives "
+        "(*.warc / *.warc.gz) instead of a parquet pages table; text "
+        "is derived from each response record's html",
+    )
+    p.add_argument(
         "--from-html", action="store_true",
         help="raw-crawl input: derive text from the html binary column "
         "for rows whose text is NULL/blank (pre-extracted text is kept "
@@ -84,9 +90,14 @@ def main():
         [tuple(p) for p in json.load(open(args.patterns))] if args.patterns else None
     )
 
-    pages = read_pages(
-        spark, args.pages, derive_text_from_html=args.from_html
-    )
+    if args.warc:
+        from gliner_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.pages)
+    else:
+        pages = read_pages(
+            spark, args.pages, derive_text_from_html=args.from_html
+        )
 
     def transform(chunk):
         shaped = length_bucketed(

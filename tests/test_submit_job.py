@@ -166,3 +166,37 @@ class TestSubmit:
             ).count()
             >= 1
         )
+
+        # raw-crawl input (--warc): the same packaged job over a
+        # directory of WARC archives instead of a parquet table
+        from gliner_spark.sources.warc import build_warc
+
+        warc_dir = tmp_path / "crawl"
+        warc_dir.mkdir()
+        (warc_dir / "a.warc.gz").write_bytes(
+            build_warc(
+                [
+                    {
+                        "url": "https://w.example/1",
+                        "warc_ts": None,
+                        "html": b"<html><body><p>john smith works at "
+                        b"acme corporation</p></body></html>",
+                    }
+                ],
+                gzip_records=True,
+            )
+        )
+        wres = submit(
+            "rw", pages=str(warc_dir),
+            out_dir=str(tmp_path / "wout"), man_dir=str(tmp_path / "wman"),
+            flags=("--warc",),
+        )
+        assert wres["chunks_run"] == 2
+        wtri = spark.read.parquet(str(tmp_path / "wout"))
+        assert (
+            wtri.where(
+                (F.col("url") == "https://w.example/1")
+                & (F.col("pred") == "works_at")
+            ).count()
+            >= 1
+        )
