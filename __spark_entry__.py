@@ -479,6 +479,19 @@ def q_kg_linking_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document entity co-occurrence counts (PMI ingredients)
+    over the extracted mentions — doc-blocked pair self-join, integer
+    counts only (engine-exact)."""
+    from gliner_spark.operators.graph_stats import entity_cooccurrence
+
+    ents = q_kg_gazetteer_entities(spark, sf_dir)
+    mentions = ents.select(
+        "doc_id", F.lower(F.col("text")).alias("entity")
+    )
+    return entity_cooccurrence(mentions)
+
+
 def q_kg_canonical_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over the near-dup graph
     (exact-dup edges ∪ jaccard≥T edges); every doc gets a component."""
@@ -1068,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_triples_zeroshot": q_kg_triples_zeroshot,
         "kg_linking_exact": q_kg_linking_exact,
+        "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "kg_canonical_cc": q_kg_canonical_cc,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_eval_per_label": q_kg_eval_per_label,
@@ -1566,6 +1580,25 @@ SELECT lower(text) AS norm, label,
        count(DISTINCT doc_id) AS n_docs,
        min(doc_id) AS canonical_doc
 FROM ents GROUP BY 1, 2
+""",
+        "kg_entity_cooccurrence": f"""
+WITH {_TOKS_CTE.strip().rstrip(',')},
+{_ents_cte(GAZ_FULL).strip().lstrip()},
+m AS (SELECT DISTINCT doc_id, lower(text) AS entity FROM ents),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM m),
+ec AS (SELECT entity, count(*) AS n FROM m GROUP BY 1),
+p AS (
+  SELECT a.entity AS entity_a, b.entity AS entity_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY 1, 2
+)
+SELECT entity_a, entity_b,
+       ca.n AS n_a, cb.n AS n_b, n_ab,
+       CAST(nd.n_docs AS BIGINT) AS n_docs
+FROM p
+JOIN ec ca ON ca.entity = p.entity_a
+JOIN ec cb ON cb.entity = p.entity_b, nd
 """,
         "kg_canonical_cc": f"""
 WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip(',')},

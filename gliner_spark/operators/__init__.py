@@ -52,7 +52,7 @@ from .extract import (
 )
 from .kge_scores import score_triples
 from .linking import link_mentions
-from .graph_stats import degree_stats, pagerank
+from .graph_stats import degree_stats, entity_cooccurrence, pagerank
 from .multimodal import decode_media, frame_sample, media_metadata
 from .sessions import sessionize
 from .multitask import (
@@ -83,6 +83,7 @@ __all__ = [
     "decode_media",
     "decontaminate",
     "degree_stats",
+    "entity_cooccurrence",
     "docred_string_f1",
     "embedding_cosine_pairs",
     "exact_duplicates",

@@ -133,3 +133,61 @@ def pagerank(
             ).cast("long").alias("rank_fp"),
         )
     return ranks
+
+
+def entity_cooccurrence(
+    mentions: DataFrame,
+    doc_col: str = "doc_id",
+    entity_col: str = "entity",
+    min_pairs: int = 1,
+) -> DataFrame:
+    """Within-document entity co-occurrence counts — the PMI
+    ingredients (n_a, n_b, n_ab, n_docs) for weighting KG edges by
+    association strength rather than raw adjacency. Counts are pure
+    integers so the result is engine-exact; consumers compute
+    PMI = log(n_ab * n_docs / (n_a * n_b)) themselves (a float log's
+    last ulp is not oracle-portable, the counts are).
+
+    Pair semantics: presence-based (document-distinct mentions), one
+    undirected pair per (doc, a, b) with a < b lexicographically.
+
+    Scale shape: the pair generation is a self-join BLOCKED on the
+    document id — fanout is quadratic only in each document's DISTINCT
+    entity count (bounded by document length, not corpus size), never
+    cross-document. One groupBy per side over uniform keys.
+
+    Returns (entity_a, entity_b, n_a, n_b, n_ab, n_docs) for pairs
+    with n_ab >= ``min_pairs``.
+    """
+    de = mentions.select(
+        F.col(doc_col).alias("_doc"), F.col(entity_col).alias("_e")
+    ).distinct()
+    n_docs = de.select("_doc").distinct().count()
+    ent_counts = de.groupBy("_e").agg(F.count(F.lit(1)).alias("n"))
+    a = de.select("_doc", F.col("_e").alias("entity_a"))
+    b = de.select("_doc", F.col("_e").alias("entity_b"))
+    pairs = (
+        a.join(b, "_doc")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    return (
+        pairs.join(
+            ent_counts.select(
+                F.col("_e").alias("entity_a"), F.col("n").alias("n_a")
+            ),
+            "entity_a",
+        )
+        .join(
+            ent_counts.select(
+                F.col("_e").alias("entity_b"), F.col("n").alias("n_b")
+            ),
+            "entity_b",
+        )
+        .select(
+            "entity_a", "entity_b", "n_a", "n_b", "n_ab",
+            F.lit(n_docs).cast("long").alias("n_docs"),
+        )
+    )

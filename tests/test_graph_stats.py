@@ -117,3 +117,38 @@ class TestPagerankRandomized:
         got = {r["entity"]: r["rank_fp"] for r in pagerank(df, iterations=4).collect()}
         want = py_pagerank(edges, iterations=4)
         assert got == want
+
+
+class TestEntityCooccurrence:
+    def test_hand_computed_counts(self, spark):
+        from gliner_spark.operators.graph_stats import entity_cooccurrence
+
+        # d1: {a,b}; d2: {a,b,c}; d3: {a}; d4: {c}
+        rows = [
+            (1, "a"), (1, "b"), (1, "b"),  # duplicate mention collapses
+            (2, "a"), (2, "b"), (2, "c"),
+            (3, "a"), (4, "c"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, entity string")
+        got = {
+            (r.entity_a, r.entity_b): (r.n_a, r.n_b, r.n_ab, r.n_docs)
+            for r in entity_cooccurrence(df).collect()
+        }
+        assert got == {
+            ("a", "b"): (3, 2, 2, 4),
+            ("a", "c"): (3, 2, 1, 4),
+            ("b", "c"): (2, 2, 1, 4),
+        }
+
+    def test_min_pairs_filter_and_ordering(self, spark):
+        from gliner_spark.operators.graph_stats import entity_cooccurrence
+
+        rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "z")]
+        df = spark.createDataFrame(rows, "doc_id long, entity string")
+        got = entity_cooccurrence(df, min_pairs=2).collect()
+        assert [(r.entity_a, r.entity_b, r.n_ab) for r in got] == [
+            ("x", "y", 2)
+        ]
+        # pairs are canonical: entity_a < entity_b always
+        all_pairs = entity_cooccurrence(df).collect()
+        assert all(r.entity_a < r.entity_b for r in all_pairs)
