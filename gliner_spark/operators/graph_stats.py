@@ -162,7 +162,10 @@ def entity_cooccurrence(
     de = mentions.select(
         F.col(doc_col).alias("_doc"), F.col(entity_col).alias("_e")
     ).distinct()
-    n_docs = de.select("_doc").distinct().count()
+    # lazy one-row aggregate, broadcast onto every pair — a .count()
+    # here would execute the upstream plan (the full extraction, for
+    # the gate) at DataFrame-CONSTRUCTION time and again on execution
+    nd = de.agg(F.countDistinct("_doc").cast("long").alias("n_docs"))
     ent_counts = de.groupBy("_e").agg(F.count(F.lit(1)).alias("n"))
     a = de.select("_doc", F.col("_e").alias("entity_a"))
     b = de.select("_doc", F.col("_e").alias("entity_b"))
@@ -186,8 +189,6 @@ def entity_cooccurrence(
             ),
             "entity_b",
         )
-        .select(
-            "entity_a", "entity_b", "n_a", "n_b", "n_ab",
-            F.lit(n_docs).cast("long").alias("n_docs"),
-        )
+        .crossJoin(F.broadcast(nd))
+        .select("entity_a", "entity_b", "n_a", "n_b", "n_ab", "n_docs")
     )

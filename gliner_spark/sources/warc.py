@@ -43,20 +43,63 @@ from pyspark.sql import DataFrame, SparkSession
 _CRLFCRLF = b"\r\n\r\n"
 
 
-def parse_warc(blob: bytes) -> List[Dict[str, Any]]:
+def _gunzip_tolerant(blob: bytes) -> bytes:
+    """Decompress concatenated gzip members, keeping everything that
+    decompressed cleanly when the final member is truncated or the
+    tail is garbage (transfer-truncated crawl shards are routine; an
+    all-or-nothing ``GzipFile.read()`` raises EOFError/BadGzipFile
+    and would lose the whole ~1 GB archive over its last record)."""
+    import zlib
+
+    out = io.BytesIO()
+    pos = 0
+    n = len(blob)
+    # member-by-member with zlib directly: GzipFile.read() buffers
+    # across members, so a read that CROSSES into the truncated member
+    # raises after the clean members' bytes are already lost inside
+    # its internals; a per-member decompressobj returns the partial
+    # final member's bytes instead of raising on truncation
+    while pos < n and blob[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.write(d.decompress(blob[pos:]))
+        except zlib.error:
+            break  # corrupt member — keep the clean prefix
+        if not d.eof:
+            break  # truncated final member (partial bytes kept)
+        pos = n - len(d.unused_data)
+    return out.getvalue()
+
+
+def parse_warc(blob: bytes, stats: Dict[str, int] | None = None) -> List[Dict[str, Any]]:
     """Parse one WARC (or .warc.gz) blob into response-record dicts:
     ``{url, warc_ts (datetime|None), html (bytes)}``.
 
     Pure function — unit-testable without Spark, and the exact code
-    the executors run. Tolerant of trailing garbage / truncated tail
-    records (a partial final record is dropped, not raised — crawl
-    archives in the wild end mid-record after transfer truncation).
+    the executors run. Corruption-tolerant, because crawl archives in
+    the wild are: a truncated tail record (plain or gzipped) is
+    dropped, not raised; mid-file framing loss RESYNCS to the next
+    ``\\r\\nWARC/`` boundary instead of silently discarding the rest
+    of the shard; a negative/garbage Content-Length cannot loop or
+    hang. Pass ``stats`` (a dict) to receive ``dropped_bytes`` — the
+    "no silent caps" accounting for skipped spans.
     """
     if blob[:2] == b"\x1f\x8b":  # gzip magic; multi-member transparent
-        blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+        blob = _gunzip_tolerant(blob)
     out: List[Dict[str, Any]] = []
+    dropped = 0
     pos = 0
     n = len(blob)
+
+    def resync(bad_pos: int) -> int:
+        """Next plausible record start after a corrupt span (or n) —
+        the bare version magic, because garbage spans need not end
+        with CRLF; only the already-corrupt span is scanned, so a
+        payload containing the magic is not at risk (valid records
+        are never searched)."""
+        nxt = blob.find(b"WARC/1.", bad_pos + 1)
+        return nxt if nxt >= 0 else n
+
     while pos < n:
         # skip inter-record CRLFs
         while pos < n and blob[pos : pos + 2] == b"\r\n":
@@ -65,11 +108,15 @@ def parse_warc(blob: bytes) -> List[Dict[str, Any]]:
             break
         head_end = blob.find(_CRLFCRLF, pos)
         if head_end < 0:
-            break  # truncated header
+            dropped += n - pos
+            break  # truncated header at EOF
         header = blob[pos:head_end].decode("utf-8", errors="replace")
         lines = header.split("\r\n")
         if not lines or not lines[0].startswith("WARC/"):
-            break  # lost framing — stop rather than emit garbage
+            nxt = resync(pos)
+            dropped += nxt - pos
+            pos = nxt
+            continue
         fields = {}
         for line in lines[1:]:
             k, _, v = line.partition(":")
@@ -77,10 +124,16 @@ def parse_warc(blob: bytes) -> List[Dict[str, Any]]:
         try:
             length = int(fields.get("content-length", ""))
         except ValueError:
-            break
+            length = -1
+        if length < 0:  # garbage/negative length: cannot trust framing
+            nxt = resync(head_end)
+            dropped += nxt - pos
+            pos = nxt
+            continue
         payload = blob[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
         if len(payload) < length:
+            dropped += n - (head_end + 4)
             break  # truncated tail record
         if fields.get("warc-type") == "response":
             body = payload
@@ -102,6 +155,8 @@ def parse_warc(blob: bytes) -> List[Dict[str, Any]]:
                     "html": body,
                 }
             )
+    if stats is not None:
+        stats["dropped_bytes"] = stats.get("dropped_bytes", 0) + dropped
     return out
 
 
@@ -116,9 +171,13 @@ def read_warc(
     ``derive_text=True`` (default) fills ``text`` from the html via
     the same extraction expression the ``--from-html`` path uses
     (``functions.html.html_to_text`` — a pure regexp expression, so it
-    runs JVM-side AFTER the Python parse); ``lang`` fills the lang
-    column with a constant (language-ID runs downstream,
-    ``functions.text.detect_language``) or NULL when None.
+    runs JVM-side AFTER the Python parse). The binary→string decode
+    happens in the parser with ``errors="replace"``: web pages are
+    frequently NOT valid UTF-8 (latin-1/shift-jis/…), and Spark 4's
+    ``decode(..., 'UTF-8')`` raises MALFORMED_CHARACTER_CODING on the
+    first such page, which would abort the whole ingestion job.
+    ``lang`` fills the lang column with a constant (language-ID runs
+    downstream, ``functions.text.detect_language``) or NULL when None.
     """
     import pandas as pd  # executor-side import
 
@@ -127,16 +186,25 @@ def read_warc(
     from ..functions.html import html_to_text
 
     def parse_files(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "warc_ts", "html", "_html_str"]
         for pdf in batches:
-            rows = []
+            # yield per FILE, not per Arrow batch: a batch can hold
+            # several ~1 GB archives' rows, and accumulating all their
+            # decompressed records at once multiplies peak task memory
+            # by the batch's file count
             for blob in pdf["content"]:
-                for rec in parse_warc(bytes(blob)):
-                    rows.append(
-                        (rec["url"], rec["warc_ts"], rec["html"])
+                rows = [
+                    (
+                        rec["url"],
+                        rec["warc_ts"],
+                        rec["html"],
+                        rec["html"].decode("utf-8", errors="replace")
+                        if derive_text
+                        else None,
                     )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html"]
-            )
+                    for rec in parse_warc(bytes(blob))
+                ]
+                yield pd.DataFrame(rows, columns=cols)
 
     raw = (
         spark.read.format("binaryFile")
@@ -145,10 +213,11 @@ def read_warc(
         .select("content")
     )
     pages = raw.mapInPandas(
-        parse_files, schema="url string, warc_ts timestamp, html binary"
+        parse_files,
+        schema="url string, warc_ts timestamp, html binary, _html_str string",
     )
     text = (
-        html_to_text(F.decode(F.col("html"), "UTF-8"))
+        html_to_text(F.col("_html_str"))
         if derive_text
         else F.lit(None).cast("string")
     )

@@ -85,3 +85,51 @@ class TestReadWarc:
             scoring="gazetteer",
         )
         assert ents.where("label = 'person'").count() >= 1
+
+
+class TestCorruptionTolerance:
+    def test_truncated_gzip_keeps_clean_prefix(self):
+        blob = build_warc(RECORDS, gzip_records=True)
+        got = parse_warc(blob[:-15])  # cut into the final gzip member
+        assert len(got) == 1 and got[0]["url"] == RECORDS[0]["url"]
+
+    def test_garbage_gzip_tail(self):
+        blob = build_warc(RECORDS[:1], gzip_records=True) + b"not gzip at all"
+        got = parse_warc(blob)
+        assert len(got) == 1
+
+    def test_negative_content_length_terminates_and_resyncs(self):
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://bad.example/\r\n"
+            b"Content-Length: -33\r\n\r\n"
+        )
+        stats = {}
+        got = parse_warc(bad + build_warc(RECORDS[:1]), stats=stats)
+        assert [r["url"] for r in got] == [RECORDS[0]["url"]]
+        assert stats["dropped_bytes"] > 0
+
+    def test_midfile_framing_loss_resyncs_to_next_record(self):
+        stats = {}
+        blob = (
+            build_warc(RECORDS[:1])
+            + b"GARBAGE BYTES NOT A RECORD"
+            + build_warc(RECORDS[1:])
+        )
+        got = parse_warc(blob, stats=stats)
+        assert [r["url"] for r in got] == [r["url"] for r in RECORDS]
+        assert stats["dropped_bytes"] == len(b"GARBAGE BYTES NOT A RECORD")
+
+    def test_non_utf8_page_text_derivation(self, spark, tmp_path):
+        """A latin-1 page must not abort the job (Spark's own decode
+        raises MALFORMED_CHARACTER_CODING); the replacement-decoded
+        text still carries the extractable ASCII content."""
+        d = tmp_path / "crawl"
+        d.mkdir()
+        latin1_html = "<html><body>café results: john smith</body></html>".encode("latin-1")
+        (d / "l.warc").write_bytes(
+            build_warc([{"url": "https://l.example/", "warc_ts": None, "html": latin1_html}])
+        )
+        (row,) = read_warc(spark, str(d)).collect()
+        assert "john smith" in row.text
+        assert bytes(row.html) == latin1_html  # binary untouched
