@@ -1,0 +1,119 @@
+"""Cluster entrypoint: training-data preparation over a documents table.
+
+The companion job to ``run_kg_job`` for the other half of the engine —
+turning a cleaned-or-raw corpus into a packed training-examples table:
+
+    python scripts/package_pyfiles.py
+    spark-submit --master <cluster> \\
+        --py-files dist/gliner_spark.zip \\
+        scripts/run_corpus_prep.py \\
+        --docs <parquet with (doc_id, text, ...)> \\
+        --out  <output dir> \\
+        [--eval-docs <parquet>]    # decontamination set \\
+        [--budget 2048] [--window 1024] [--stride 1024] \\
+        [--min-keep-report 1]
+
+Dataflow:
+
+    docs ──corpus_keep_list──▶ keep verdicts (quality / exact-dup /
+          decontamination, each reason independently recorded)
+      └─ filtered survivors
+      └─ chunk_documents (over-context docs → word windows)
+      └─ pack_sequences  (fixed-budget examples via the two-phase
+                          distributed prefix sum)
+      └─ <out>/examples   (doc_id, chunk_idx, chunk_text, n_tokens,
+                           example_id, offset_in_example)
+      └─ <out>/keep_list  (the verdict table — the audit trail for
+                           every dropped document; no silent caps)
+
+Prints ONE JSON summary line: docs in/kept, chunks, examples, token
+totals, and per-reason drop counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--eval-docs", default=None,
+                   help="eval/benchmark docs; training docs sharing an "
+                   "n-gram with them are dropped as contaminated")
+    p.add_argument("--budget", type=int, default=2048,
+                   help="tokens per packed training example")
+    p.add_argument("--window", type=int, default=1024,
+                   help="words per chunk for over-context documents")
+    p.add_argument("--stride", type=int, default=None,
+                   help="chunk stride (default: window — no overlap)")
+    p.add_argument("--shard-size", type=int, default=100_000,
+                   help="docs per prefix-sum shard in pack_sequences")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from pyspark.sql import SparkSession, functions as F
+
+    from gliner_spark.functions.text import word_count
+    from gliner_spark.operators.corpus import corpus_keep_list
+    from gliner_spark.operators.seqpack import chunk_documents, pack_sequences
+
+    spark = SparkSession.builder.appName("gliner-spark-corpus-prep").getOrCreate()
+    docs = spark.read.parquet(args.docs)
+    eval_df = spark.read.parquet(args.eval_docs) if args.eval_docs else None
+
+    keep = corpus_keep_list(docs, eval_df=eval_df)
+    keep.write.mode("overwrite").parquet(f"{args.out}/keep_list")
+    keep = spark.read.parquet(f"{args.out}/keep_list")  # committed verdicts
+
+    survivors = docs.join(
+        keep.where("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    chunks = chunk_documents(
+        survivors, window=args.window, stride=args.stride
+    )
+    # stable numeric chunk uid preserving (doc, position) order — the
+    # packing order is therefore document order, then chunk order
+    chunked = chunks.select(
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")).alias(
+            "chunk_uid"
+        ),
+        "doc_id", "chunk_idx", "chunk_text",
+        F.col("n_words_chunk").cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        chunked, budget=args.budget, id_col="chunk_uid",
+        tokens_col="n_tokens", shard_size=args.shard_size,
+    )
+    packed.write.mode("overwrite").parquet(f"{args.out}/examples")
+
+    out = spark.read.parquet(f"{args.out}/examples")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("chunks"),
+        F.countDistinct("example_id").alias("examples"),
+        F.sum("n_tokens").alias("tokens"),
+    ).first()
+    reasons = {
+        r.reason: r.n
+        for r in keep.select(F.explode("reasons").alias("reason"))
+        .groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    summary = {
+        "docs_in": docs.count(),
+        "docs_kept": keep.where("keep").count(),
+        "dropped_by_reason": reasons,
+        "chunks": agg.chunks,
+        "examples": agg.examples,
+        "tokens": agg.tokens,
+        "budget": args.budget,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -200,3 +200,63 @@ class TestSubmit:
             ).count()
             >= 1
         )
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_corpus_prep_job(spark, tmp_path):
+    """spark-submit the corpus-prep entrypoint: keep-list verdicts +
+    chunked + packed training examples, zipped deps only."""
+    sys.path.insert(0, REPO)
+    from gliner_spark.sources.pages import pages_df
+    from scripts.package_pyfiles import build
+    from pyspark.sql import functions as F
+
+    zip_path = build(str(tmp_path / "dist"))
+    docs_path = str(tmp_path / "docs.parquet")
+    # documents shape: numeric doc_id + text (repeat some texts so the
+    # exact-dup reason fires; long docs so chunking fires)
+    docs = pages_df(spark, 60).select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("text"),
+    ).cache()
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1000)
+    docs.unionByName(dup).write.mode("overwrite").parquet(docs_path)
+    out = str(tmp_path / "prep")
+    cmd = [
+        SPARK_SUBMIT, "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "run_corpus_prep.py"),
+        "--docs", docs_path, "--out", out,
+        "--budget", "64", "--window", "32",
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=str(tmp_path), timeout=240
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["docs_in"] == 63
+    assert 0 < summary["docs_kept"] < 63  # dups/quality dropped
+    assert summary["dropped_by_reason"].get("exact_dup", 0) >= 3
+    assert summary["examples"] >= 1 and summary["tokens"] > 0
+    ex = spark.read.parquet(out + "/examples")
+    assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens",
+            "example_id", "offset_in_example"} <= set(ex.columns)
+    # no example except the last can end below the budget boundary
+    from collections import defaultdict
+    rows = ex.collect()
+    by_ex = defaultdict(int)
+    for r in rows:
+        by_ex[r.example_id] += r.n_tokens
+    last = max(by_ex)
+    for eid, tot in by_ex.items():
+        if eid != last:
+            start = min(
+                r.cum_before for r in rows if r.example_id == eid
+            )
+            assert start + tot >= (eid + 1) * 64
