@@ -77,7 +77,10 @@ def main():
         survivors, window=args.window, stride=args.stride
     )
     # stable numeric chunk uid preserving (doc, position) order — the
-    # packing order is therefore document order, then chunk order
+    # packing order is therefore document order, then chunk order.
+    # Bounds: chunk_idx < 1e6 always (a doc would need window*1e6
+    # words to exceed it); doc_id must stay < ~9.2e12 to avoid BIGINT
+    # overflow — re-key ids upstream if the corpus uses larger ones
     chunked = chunks.select(
         (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")).alias(
             "chunk_uid"
