@@ -10,8 +10,7 @@ turning a cleaned-or-raw corpus into a packed training-examples table:
         --docs <parquet with (doc_id, text, ...)> \\
         --out  <output dir> \\
         [--eval-docs <parquet>]    # decontamination set \\
-        [--budget 2048] [--window 1024] [--stride 1024] \\
-        [--min-keep-report 1]
+        [--budget 2048] [--window 1024] [--stride 1024]
 
 Dataflow:
 
@@ -58,7 +57,6 @@ def main():
     args = parse_args()
     from pyspark.sql import SparkSession, functions as F
 
-    from gliner_spark.functions.text import word_count
     from gliner_spark.operators.corpus import corpus_keep_list
     from gliner_spark.operators.seqpack import chunk_documents, pack_sequences
 
@@ -78,19 +76,35 @@ def main():
     )
     # stable numeric chunk uid preserving (doc, position) order — the
     # packing order is therefore document order, then chunk order.
-    # Bounds: chunk_idx < 1e6 always (a doc would need window*1e6
-    # words to exceed it); doc_id must stay < ~9.2e12 to avoid BIGINT
-    # overflow — re-key ids upstream if the corpus uses larger ones
+    # Bounds, enforced not assumed: chunk_idx must stay < the 1e6 uid
+    # spacing (raise_error inside the uid expression fails the job
+    # loudly instead of colliding into the next doc's uid range — a
+    # tiny --stride on a giant doc could exceed it) and doc_id (cast
+    # to BIGINT first: an int32 input column would silently wrap the
+    # multiply) must stay < ~9.2e12 — re-key larger ids upstream.
+    _SPACING = 1_000_000
+    safe_idx = F.when(
+        F.col("chunk_idx") < F.lit(_SPACING), F.col("chunk_idx")
+    ).otherwise(
+        F.raise_error(
+            F.lit("chunk_idx exceeds the uid spacing: document longer "
+                  "than stride*1e6 words — raise the spacing")
+        ).cast("int")
+    )
     chunked = chunks.select(
-        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")).alias(
-            "chunk_uid"
-        ),
+        (F.col("doc_id").cast("long") * F.lit(_SPACING).cast("long")
+         + safe_idx).alias("chunk_uid"),
         "doc_id", "chunk_idx", "chunk_text",
         F.col("n_words_chunk").cast("long").alias("n_tokens"),
     )
     packed = pack_sequences(
         chunked, budget=args.budget, id_col="chunk_uid",
-        tokens_col="n_tokens", shard_size=args.shard_size,
+        tokens_col="n_tokens",
+        # uids jump by _SPACING per doc; scale the shard width so
+        # --shard-size keeps its documented "docs per shard" meaning
+        # (unscaled, every doc would land in its own shard and the
+        # offsets table would grow with n_docs, not n_docs/shard)
+        shard_size=args.shard_size * _SPACING,
     )
     packed.write.mode("overwrite").parquet(f"{args.out}/examples")
 
