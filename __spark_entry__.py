@@ -479,6 +479,15 @@ def q_kg_linking_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples export of the extracted KG (relation statements +
+    lossless surface-form label statements; md5-based IRIs keep the
+    rendering engine-exact)."""
+    from gliner_spark.sinks.ntriples import ntriples_lines
+
+    return ntriples_lines(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document entity co-occurrence counts (PMI ingredients)
     over the extracted mentions — doc-blocked pair self-join, integer
@@ -1082,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_zeroshot": q_kg_triples_zeroshot,
         "kg_linking_exact": q_kg_linking_exact,
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
+        "kg_export_ntriples": q_kg_export_ntriples,
         "kg_canonical_cc": q_kg_canonical_cc,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_eval_per_label": q_kg_eval_per_label,
@@ -1580,6 +1590,45 @@ SELECT lower(text) AS norm, label,
        count(DISTINCT doc_id) AS n_docs,
        min(doc_id) AS canonical_doc
 FROM ents GROUP BY 1, 2
+""",
+        "kg_export_ntriples": f"""
+WITH {_TOKS_CTE.strip().rstrip(',')},
+{_ents_cte(GAZ_FULL).strip().lstrip()},
+pat AS (SELECT * FROM (VALUES {', '.join(f"('{h}', '{r}', '{t}')" for h, r, t in PATTERNS)})
+        AS p(head, rel, tail)),
+tr AS (
+  SELECT a.text AS subj_text, p.rel AS pred, b.text AS obj_text
+  FROM ents a
+  JOIN ents b ON a.doc_id = b.doc_id AND a.w != b.w
+  JOIN pat p ON p.head = a.label AND p.tail = b.label
+  WHERE abs(a.w - b.w) <= {PATTERN_DIST}
+),
+esc AS (
+  SELECT k, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '\\\\', '\\\\\\\\', 'g'),
+                 '"', '\\\\"', 'g'),
+               chr(10), '\\\\n', 'g'),
+             chr(13), '\\\\r', 'g'),
+           chr(9), '\\\\t', 'g') AS lit
+  FROM (
+    SELECT DISTINCT 'e' AS k, subj_text AS t FROM tr
+    UNION SELECT DISTINCT 'e', obj_text FROM tr
+    UNION SELECT DISTINCT 'p', pred FROM tr
+  )
+)
+SELECT DISTINCT
+  '<http://kg.example/e/' || md5(subj_text) || '> ' ||
+  '<http://kg.example/p/' || md5(pred) || '> ' ||
+  '<http://kg.example/e/' || md5(obj_text) || '> .' AS line
+FROM tr
+UNION ALL
+SELECT '<http://kg.example/' || k || '/' || md5(t) || '> ' ||
+       '<http://www.w3.org/2000/01/rdf-schema#label> "' || lit || '" .'
+FROM esc
 """,
         "kg_entity_cooccurrence": f"""
 WITH {_TOKS_CTE.strip().rstrip(',')},
