@@ -64,6 +64,12 @@ def parse_args():
         "and append per-predicate lineage rows (sinks.graph contract)",
     )
     p.add_argument(
+        "--export-ntriples", action="store_true",
+        help="after the (resumed) run, export the committed triples "
+        "as RDF N-Triples text to <out>_nt (relation statements + "
+        "lossless surface-form labels)",
+    )
+    p.add_argument(
         "--analytics", action="store_true",
         help="after the (resumed) run, write degree stats and integer "
         "PageRank over the FULL committed triple table to <out>_degrees "
@@ -173,6 +179,13 @@ def main():
         # over the full triple table a second time
         summary["analytics_entities"] = spark.read.parquet(
             f"{args.out}_degrees"
+        ).count()
+    if args.export_ntriples:
+        from gliner_spark.sinks.ntriples import write_ntriples
+
+        write_ntriples(spark.read.parquet(args.out), f"{args.out}_nt")
+        summary["ntriples_lines"] = spark.read.text(
+            f"{args.out}_nt"
         ).count()
     print(json.dumps(summary))
     spark.stop()

@@ -87,10 +87,13 @@ class TestSubmit:
         man8 = str(tmp_path / "manifest8")
         big = submit(
             "r8", master="local[8]", out_dir=out8, man_dir=man8,
-            flags=("--partition-by-pred", "--analytics"),
+            flags=("--partition-by-pred", "--analytics", "--export-ntriples"),
         )
         assert big["chunks_run"] == 2 and big.get("preds", 0) >= 1
         assert big.get("analytics_entities", 0) >= 1
+        assert big.get("ntriples_lines", 0) >= 1
+        nt = [r.value for r in spark.read.text(out8 + "_nt").collect()]
+        assert all(l.endswith(" .") and l.startswith("<") for l in nt)
         big_df = spark.read.parquet(out8)
         cols = sorted(set(got.columns) & set(big_df.columns))
         rows_small = sorted(map(tuple, got.select(*cols).collect()))
