@@ -479,6 +479,32 @@ def q_kg_linking_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROBOTS_TXT = {
+    "www.site0.example.com": "User-agent: *\nDisallow: /p1\n",
+    "www.site3.example.com": (
+        "# comment\nUser-agent: other\nDisallow: /\n"
+        "User-agent: *\nDisallow: /p2\nDisallow: /p35\n"
+    ),
+}
+
+
+def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retroactive robots.txt filter over the synthesized page urls:
+    broadcast anti-join on (host, Disallow-prefix) rules."""
+    from gliner_spark.operators.robots import robots_filter, robots_rules_df
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return robots_filter(pages, robots_rules_df(spark, ROBOTS_TXT))
+
+
 def q_kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF N-Triples export of the extracted KG (relation statements +
     lossless surface-form label statements; md5-based IRIs keep the
@@ -1092,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linking_exact": q_kg_linking_exact,
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "kg_export_ntriples": q_kg_export_ntriples,
+        "web_robots_filter": q_web_robots_filter,
         "kg_canonical_cc": q_kg_canonical_cc,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_eval_per_label": q_kg_eval_per_label,
@@ -1590,6 +1617,18 @@ SELECT lower(text) AS norm, label,
        count(DISTINCT doc_id) AS n_docs,
        min(doc_id) AS canonical_doc
 FROM ents GROUP BY 1, 2
+""",
+        "web_robots_filter": """
+WITH d AS (
+  SELECT doc_id,
+         'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+         '/p' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+)
+SELECT doc_id, url FROM d
+WHERE NOT (doc_id % 7 = 0 AND path LIKE '/p1%')
+  AND NOT (doc_id % 7 = 3 AND (path LIKE '/p2%' OR path LIKE '/p35%'))
 """,
         "kg_export_ntriples": f"""
 WITH {_TOKS_CTE.strip().rstrip(',')},

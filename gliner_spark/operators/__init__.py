@@ -53,6 +53,7 @@ from .extract import (
 from .kge_scores import score_triples
 from .linking import link_mentions
 from .graph_stats import degree_stats, entity_cooccurrence, pagerank
+from .robots import parse_robots, robots_filter, robots_rules_df
 from .multimodal import decode_media, frame_sample, media_metadata
 from .sessions import sessionize
 from .multitask import (
@@ -84,6 +85,9 @@ __all__ = [
     "decontaminate",
     "degree_stats",
     "entity_cooccurrence",
+    "parse_robots",
+    "robots_filter",
+    "robots_rules_df",
     "docred_string_f1",
     "embedding_cosine_pairs",
     "exact_duplicates",
