@@ -488,6 +488,45 @@ ROBOTS_TXT = {
 }
 
 
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic planted
+    identifiers (emails / IPs / phone-like runs on modulo-selected
+    docs) — counts + redacted text, all regexp built-ins."""
+    from gliner_spark.functions.pii import pii_columns
+
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact bob"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" server 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 up"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call +1 (555) 123-4"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("67"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    cols = pii_columns(planted)
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
 def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retroactive robots.txt filter over the synthesized page urls:
     broadcast anti-join on (host, Disallow-prefix) rules."""
@@ -1119,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "kg_export_ntriples": q_kg_export_ntriples,
         "web_robots_filter": q_web_robots_filter,
+        "text_pii": q_text_pii,
         "kg_canonical_cc": q_kg_canonical_cc,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_eval_per_label": q_kg_eval_per_label,
@@ -1473,6 +1513,45 @@ GROUP BY src_host, dst_host
 """
 
 
+def _text_pii_sql() -> str:
+    from gliner_spark.functions.pii import EMAIL_RE, IP_RE, PHONE_RE
+
+    planted = (
+        "text"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' contact bob' ||"
+        " CAST(doc_id AS VARCHAR) || '@mail.example now' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' server 10.0.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.1 up' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call +1 (555) 123-4' ||"
+        " CAST(doc_id % 10 AS VARCHAR) || '67' ELSE '' END"
+    )
+    e, i, p = EMAIL_RE, IP_RE, PHONE_RE
+    # counts are class-disjoint like the Spark side: ip counted after
+    # email redaction, phone after ip redaction
+    return f"""
+WITH d AS (SELECT doc_id, {planted} AS t FROM documents),
+s AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{e}', '<EMAIL>', 'g') AS t1
+  FROM d
+),
+s2 AS (
+  SELECT doc_id, t, t1,
+         regexp_replace(t1, '{i}', '<IP>', 'g') AS t2
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{e}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{i}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{p}')) AS INT) AS n_phones,
+       regexp_replace(t2, '{p}', '<PHONE>', 'g') AS redacted_text,
+       (len(regexp_extract_all(t, '{e}'))
+        + len(regexp_extract_all(t1, '{i}'))
+        + len(regexp_extract_all(t2, '{p}'))) > 0 AS has_pii
+FROM s2
+"""
+
+
 def _text_repetition_sql() -> str:
     k = REP_LINE_WORDS
     return f"""
@@ -1618,6 +1697,10 @@ SELECT lower(text) AS norm, label,
        min(doc_id) AS canonical_doc
 FROM ents GROUP BY 1, 2
 """,
+        # DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+        # occurrences by default); the patterns are the shared
+        # Java/RE2 subset imported from the SAME module constants
+        "text_pii": _text_pii_sql(),
         "web_robots_filter": """
 WITH d AS (
   SELECT doc_id,

@@ -206,3 +206,39 @@ def test_simhash_null_text_is_zero(spark):
     # empty string tokenizes to [""] and hashes like any one-token doc
     # (unchanged pre-round-4 semantics) — non-null either way
     assert got[2] is not None
+
+
+class TestPii:
+    CASES = [
+        ("mail me at a.b+c@sub.example.org please",
+         "mail me at <EMAIL> please", 1, 0, 0),
+        ("server 192.168.0.1 and 10.0.0.255 down",
+         "server <IP> and <IP> down", 0, 2, 0),
+        ("call +1 (555) 123-4567 today",
+         "call <PHONE> today", 0, 0, 1),
+        ("id 12345678901 listed",  # plain long digit run: phone-like
+         "id <PHONE> listed", 0, 0, 1),
+        ("version 1.2.3 of lib x", "version 1.2.3 of lib x", 0, 0, 0),
+        ("email bob@x.io or 8.8.8.8 or 555-123-9876",
+         "email <EMAIL> or <IP> or <PHONE>", 1, 1, 1),
+    ]
+
+    def test_redaction_and_counts(self, spark):
+        from gliner_spark.functions.pii import pii_columns
+
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, *_ ) in enumerate(self.CASES)],
+            "id int, text string",
+        )
+        cols = pii_columns(F.col("text"))
+        got = {
+            r.id: r
+            for r in df.select(
+                "id", *[c.alias(n) for n, c in cols.items()]
+            ).collect()
+        }
+        for i, (_, want_red, ne, ni, np_) in enumerate(self.CASES):
+            r = got[i]
+            assert r.redacted_text == want_red, i
+            assert (r.n_emails, r.n_ips, r.n_phones) == (ne, ni, np_), i
+            assert r.has_pii == ((ne + ni + np_) > 0)
