@@ -14,7 +14,9 @@ turning a cleaned-or-raw corpus into a packed training-examples table:
 
 Dataflow:
 
-    docs ──corpus_keep_list──▶ keep verdicts (quality / exact-dup /
+    docs ──[--robots: retroactive robots.txt filter]
+         ──[--redact-pii: email/IP/phone scrub]
+         ──corpus_keep_list──▶ keep verdicts (quality / exact-dup /
           decontamination, each reason independently recorded)
       └─ filtered survivors
       └─ chunk_documents (over-context docs → word windows)
@@ -50,6 +52,13 @@ def parse_args():
                    help="chunk stride (default: window — no overlap)")
     p.add_argument("--shard-size", type=int, default=100_000,
                    help="docs per prefix-sum shard in pack_sequences")
+    p.add_argument("--robots", default=None,
+                   help="JSON file {host: robots.txt body}: drop pages "
+                   "whose url path a host's Disallow rules cover "
+                   "(retroactive opt-out; requires a url column)")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="replace emails/IPs/phone-like runs with class "
+                   "tokens before chunking; per-class counts reported")
     return p.parse_args()
 
 
@@ -62,6 +71,40 @@ def main():
 
     spark = SparkSession.builder.appName("gliner-spark-corpus-prep").getOrCreate()
     docs = spark.read.parquet(args.docs)
+    n_docs_raw = docs.count()
+    robots_dropped = 0
+    if args.robots:
+        from gliner_spark.operators.robots import (
+            robots_filter,
+            robots_rules_df,
+        )
+
+        rules = robots_rules_df(spark, json.load(open(args.robots)))
+        docs = robots_filter(docs, rules)
+        robots_dropped = n_docs_raw - docs.count()
+    pii_counts_summary = {}
+    if args.redact_pii:
+        from gliner_spark.functions.pii import pii_columns
+
+        cols = pii_columns(F.col("text"))
+        docs = docs.select(
+            *[c for c in docs.columns if c != "text"],
+            cols["redacted_text"].alias("text"),
+            cols["n_emails"].alias("_n_emails"),
+            cols["n_ips"].alias("_n_ips"),
+            cols["n_phones"].alias("_n_phones"),
+        )
+        agg = docs.agg(
+            F.sum("_n_emails").alias("e"),
+            F.sum("_n_ips").alias("i"),
+            F.sum("_n_phones").alias("p"),
+        ).first()
+        pii_counts_summary = {
+            "emails": int(agg.e or 0),
+            "ips": int(agg.i or 0),
+            "phones": int(agg.p or 0),
+        }
+        docs = docs.drop("_n_emails", "_n_ips", "_n_phones")
     eval_df = spark.read.parquet(args.eval_docs) if args.eval_docs else None
 
     keep = corpus_keep_list(docs, eval_df=eval_df)
@@ -120,7 +163,9 @@ def main():
         .groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     summary = {
-        "docs_in": docs.count(),
+        "docs_in": n_docs_raw,
+        "robots_dropped": robots_dropped,
+        "pii_redacted": pii_counts_summary,
         "docs_kept": keep.where("keep").count(),
         "dropped_by_reason": reasons,
         "chunks": agg.chunks,

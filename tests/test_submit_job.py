@@ -222,10 +222,24 @@ def test_corpus_prep_job(spark, tmp_path):
     # exact-dup reason fires; long docs so chunking fires)
     docs = pages_df(spark, 60).select(
         F.monotonically_increasing_id().alias("doc_id"),
-        F.col("text"),
+        # plant an email so --redact-pii has work; give every doc a
+        # url so --robots can drop path-prefix matches
+        F.concat(F.col("text"), F.lit(" mail zoe@pii.example ok")).alias("text"),
     ).cache()
+    docs = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 2).cast("string"),
+            F.lit(".example/p"), F.col("doc_id").cast("string"),
+        ),
+    )
     dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1000)
     docs.unionByName(dup).write.mode("overwrite").parquet(docs_path)
+    robots_path = str(tmp_path / "robots.json")
+    json.dump(
+        {"h0.example": "User-agent: *\nDisallow: /p1\n"},
+        open(robots_path, "w"),
+    )
     out = str(tmp_path / "prep")
     cmd = [
         SPARK_SUBMIT, "--master", "local[2]",
@@ -235,6 +249,7 @@ def test_corpus_prep_job(spark, tmp_path):
         os.path.join(REPO, "scripts", "run_corpus_prep.py"),
         "--docs", docs_path, "--out", out,
         "--budget", "64", "--window", "32",
+        "--robots", robots_path, "--redact-pii",
     ]
     proc = subprocess.run(
         cmd, capture_output=True, text=True, cwd=str(tmp_path), timeout=240
@@ -244,9 +259,24 @@ def test_corpus_prep_job(spark, tmp_path):
         [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert summary["docs_in"] == 63
+    assert summary["robots_dropped"] >= 1  # h0.example /p1* pages
+    assert summary["pii_redacted"]["emails"] >= 50  # planted in every doc
     assert 0 < summary["docs_kept"] < 63  # dups/quality dropped
     assert summary["dropped_by_reason"].get("exact_dup", 0) >= 3
     assert summary["examples"] >= 1 and summary["tokens"] > 0
+    # redaction reached the examples table
+    assert (
+        spark.read.parquet(out + "/examples")
+        .where(F.col("chunk_text").contains("zoe@pii.example"))
+        .count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(out + "/examples")
+        .where(F.col("chunk_text").contains("<EMAIL>"))
+        .count()
+        > 0
+    )
     ex = spark.read.parquet(out + "/examples")
     assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens",
             "example_id", "offset_in_example"} <= set(ex.columns)
