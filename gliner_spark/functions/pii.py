@@ -29,8 +29,11 @@ IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 # chars between digits ("+1 (555) 123-4567" has ") " runs), 8+ digits
 # total — a deterministic heuristic (plain long numbers match too;
 # the redaction trades recall over precision, the right direction for
-# a scrub)
-PHONE_RE = r"\+?\d(?:[\s().-]{0,2}\d){7,14}"
+# a scrub). The whitespace class is spelled out, NOT \s: Java's \s
+# includes vertical tab while RE2's does not, and a shorthand that
+# differs between engines would break the shared-regex oracle
+# contract on real text.
+PHONE_RE = r"\+?\d(?:[ \t\n\r\f().-]{0,2}\d){7,14}"
 
 EMAIL_TOKEN, IP_TOKEN, PHONE_TOKEN = "<EMAIL>", "<IP>", "<PHONE>"
 

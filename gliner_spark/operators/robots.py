@@ -33,7 +33,8 @@ def parse_robots(txt: str) -> List[str]:
     comments, and CRLF. Empty ``Disallow:`` (allow-all) contributes
     nothing."""
     prefixes: List[str] = []
-    applies = False
+    group_agents: List[str] = []
+    collecting_agents = False
     for raw in txt.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
@@ -42,9 +43,17 @@ def parse_robots(txt: str) -> List[str]:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            applies = val == "*"
-        elif key == "disallow" and applies and val:
-            prefixes.append(val)
+            # consecutive User-agent lines form ONE group whose rules
+            # apply to every listed agent (RFC 9309) — resetting on
+            # each line would drop the '*' when another agent follows
+            if not collecting_agents:
+                group_agents = []
+            collecting_agents = True
+            group_agents.append(val)
+        else:
+            collecting_agents = False
+            if key == "disallow" and "*" in group_agents and val:
+                prefixes.append(val)
     return prefixes
 
 
@@ -72,10 +81,14 @@ def robots_filter(
     ``startswith(prefix)`` as the residual condition; the rules side
     is broadcast, so the corpus side stays un-shuffled.
     """
+    # a URL with no path component requests '/', so 'Disallow: /'
+    # must cover it (url_path returns '' there, which no prefix would
+    # match — the filter would silently KEEP an opted-out root page)
+    path = url_path(F.col(url_col))
     with_parts = pages.withColumns(
         {
             "__host": url_host(F.col(url_col)),
-            "__path": url_path(F.col(url_col)),
+            "__path": F.when(path == "", F.lit("/")).otherwise(path),
         }
     )
     r = rules.select(

@@ -64,6 +64,11 @@ def ntriples_lines(
     per statement class over uniform md5-derived keys.
     """
     s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    # a null component cannot be rendered as a valid statement —
+    # concat_ws would silently SKIP it and emit a truncated line that
+    # parses wrong (a null pred promotes the object to predicate);
+    # such rows are excluded from both statement classes
+    triples = triples.where(s.isNotNull() & p.isNotNull() & o.isNotNull())
     rel = triples.select(
         F.concat_ws(
             " ",

@@ -72,7 +72,6 @@ def main():
     spark = SparkSession.builder.appName("gliner-spark-corpus-prep").getOrCreate()
     docs = spark.read.parquet(args.docs)
     n_docs_raw = docs.count()
-    robots_dropped = 0
     if args.robots:
         from gliner_spark.operators.robots import (
             robots_filter,
@@ -81,8 +80,7 @@ def main():
 
         rules = robots_rules_df(spark, json.load(open(args.robots)))
         docs = robots_filter(docs, rules)
-        robots_dropped = n_docs_raw - docs.count()
-    pii_counts_summary = {}
+    pii_cols = []
     if args.redact_pii:
         from gliner_spark.functions.pii import pii_columns
 
@@ -94,6 +92,16 @@ def main():
             cols["n_ips"].alias("_n_ips"),
             cols["n_phones"].alias("_n_phones"),
         )
+        pii_cols = ["_n_emails", "_n_ips", "_n_phones"]
+    # persist ONCE after the optional stages: every downstream action
+    # (the robots-drop count, the pii totals, the keep-list write, the
+    # survivor join, the chunk/pack write) would otherwise re-run the
+    # robots join + three regex replaces over the whole corpus
+    docs = docs.persist()
+    n_docs_staged = docs.count()  # materializes the cache
+    robots_dropped = n_docs_raw - n_docs_staged  # pii drops no rows
+    pii_counts_summary = {}
+    if args.redact_pii:
         agg = docs.agg(
             F.sum("_n_emails").alias("e"),
             F.sum("_n_ips").alias("i"),
@@ -104,7 +112,7 @@ def main():
             "ips": int(agg.i or 0),
             "phones": int(agg.p or 0),
         }
-        docs = docs.drop("_n_emails", "_n_ips", "_n_phones")
+        docs = docs.drop(*pii_cols)
     eval_df = spark.read.parquet(args.eval_docs) if args.eval_docs else None
 
     keep = corpus_keep_list(docs, eval_df=eval_df)

@@ -68,3 +68,28 @@ class TestRobotsFilter:
     def test_empty_rules_keep_everything(self, spark):
         kept = robots_filter(self.pages(spark), robots_rules_df(spark, {}))
         assert kept.count() == 5
+
+
+class TestReviewRegressions:
+    def test_multi_agent_group_keeps_star_rules(self):
+        # RFC 9309: consecutive User-agent lines form one group whose
+        # rules apply to all listed agents, including *
+        txt = "User-agent: *\nUser-agent: googlebot\nDisallow: /private\n"
+        assert parse_robots(txt) == ["/private"]
+        # a NEW group after rules resets the agent list
+        txt2 = (
+            "User-agent: *\nDisallow: /a\n"
+            "User-agent: bot\nDisallow: /b\n"
+        )
+        assert parse_robots(txt2) == ["/a"]
+
+    def test_root_url_without_path_covered_by_disallow_root(self, spark):
+        pages = spark.createDataFrame(
+            [(1, "https://a.example"), (2, "https://b.example")],
+            "doc_id long, url string",
+        )
+        rules = robots_rules_df(
+            spark, {"a.example": "User-agent: *\nDisallow: /\n"}
+        )
+        kept = [r.doc_id for r in robots_filter(pages, rules).collect()]
+        assert kept == [2]
