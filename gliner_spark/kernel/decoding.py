@@ -40,6 +40,9 @@ class Span:
     entity_type: str
     score: float
     class_probs: Optional[Dict[str, float]] = None
+    # generative families only (SpanGenerativeDecoder._build_span_tuple,
+    # decoder.py:492-530): the LM-generated type strings for this span
+    generated_labels: Optional[List[str]] = None
 
 
 def sigmoid(x: np.ndarray) -> np.ndarray:
@@ -290,6 +293,57 @@ def extract_spans_from_token_probs(
     np.cumsum(inside_mask, axis=0, out=csum[1:])
     ok = (csum[ce + 1, cc] - csum[cs, cc]) == (ce - cs + 1)
     return np.stack([cs[ok], ce[ok]], axis=1).astype(np.int64)
+
+
+def decode_candidate_span_probs(
+    span_probs: np.ndarray,
+    cand: np.ndarray,
+    id_to_class: Dict[int, str],
+    span_label_map: Optional[Dict[int, List[str]]] = None,
+    threshold: float = 0.5,
+    flat_ner: bool = True,
+    multi_label: bool = False,
+) -> List[Span]:
+    """Decode a PACKED candidate list's (E, C) span probabilities —
+    the token-generative family's final entity decode
+    (TokenGenerativeDecoder.decode_generative, decoder.py:1438-1533).
+
+    Unlike ``decode_token_scores`` (the plain token family's min-rule
+    assembly), the token-DECODER family re-scores each token-proposed
+    candidate span against the label embeddings and decodes from those
+    span logits: candidates iterate in list order (the reference's
+    ``valid_indices`` scan over ``span_mask`` — our ``cand`` list is
+    already packed, so every position is valid), every class above
+    ``threshold`` emits a tuple, the generated labels attach by
+    CANDIDATE POSITION (``span_label_map_i.get(span_pos.item())``,
+    decoder.py:1528 — position in the candidate list, NOT the L*K flat
+    index the span-generative family uses), and ``greedy_search``
+    resolves overlaps over the tuples WITH their gen labels already
+    attached. Class ids absent from ``id_to_class`` are skipped
+    (decoder.py:1524 ``if class_id in id_to_class_i``).
+
+    ``span_probs`` must already be sigmoided; ``cand`` is the (E, 2)
+    word-span array from ``extract_spans_from_token_probs``.
+    """
+    label_map = span_label_map or {}
+    out: List[Span] = []
+    for pos in range(len(cand)):
+        s, e = int(cand[pos, 0]), int(cand[pos, 1])
+        gen = label_map.get(pos)
+        for c in np.nonzero(span_probs[pos] > threshold)[0]:
+            entity_type = id_to_class.get(int(c) + 1)
+            if entity_type is None:
+                continue
+            out.append(
+                Span(
+                    start=s,
+                    end=e,
+                    entity_type=entity_type,
+                    score=float(span_probs[pos, c]),
+                    generated_labels=gen,
+                )
+            )
+    return greedy_search(out, flat_ner, multi_label=multi_label)
 
 
 def decode_relations(

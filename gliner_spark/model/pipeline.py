@@ -489,6 +489,14 @@ class GLiNERPipeline:
         tokens, starts, ends = self._prepare(text, lang)
         if not tokens:
             return []
+        if self.config.mode == "token":
+            return self._predict_entities_generative_token(
+                tokens, text, starts, ends, thr,
+                decoder_mode=decoder_mode,
+                gen_constraints=gen_constraints,
+                num_gen_sequences=num_gen_sequences,
+                max_new_tokens=max_new_tokens,
+            )
         probs, span_reps = self._score_spans(tokens)
         probs = self._apply_gazetteer(probs, text, starts, ends)
         L, K, _C = probs.shape
@@ -550,6 +558,103 @@ class GLiNERPipeline:
                 labels = span_label_map.get(flat_idx)
                 if labels is not None:
                     ent["generated_labels"] = labels
+        return entities
+
+    def _predict_entities_generative_token(
+        self,
+        tokens,
+        text,
+        starts,
+        ends,
+        thr,
+        decoder_mode: str = "span",
+        gen_constraints: Optional[Sequence[str]] = None,
+        num_gen_sequences: int = 1,
+        max_new_tokens: int = 15,
+    ) -> List[Dict[str, Any]]:
+        """Token-mode generative family (UniEncoderTokenDecoderGLiNER,
+        gliner/model.py:2346-2358; model side base.py:1608-1900; decode
+        side TokenGenerativeDecoder, decoder.py:1427-1533):
+
+        1. BIO token scoring → (W, C, 3) probs (M7);
+        2. candidate spans proposed FROM the token flags
+           (extract_spans_from_tokens, modeling/utils.py:299-379 — the
+           span grid is never enumerated);
+        3. candidate reps re-scored against the label embeddings
+           (``span_logits = einsum('BND,BCD->BNC')``, base.py:1836) —
+           entity decode in this family runs over THESE span probs,
+           not the BIO min rule;
+        4. decoder input selection keeps candidates with
+           ``sigmoid(span_logits).max(-1) > 0.5`` — the reference
+           HARD-CODES 0.5 here (base.py:1700-1702), independent of the
+           user threshold (upstream also writes ``& span_mask.bool``
+           without calling it — our candidate list is packed so the
+           mask is all-true and the intended semantics are unambiguous);
+        5. ``num_gen_sequences`` labels generate per kept span,
+           attached by CANDIDATE POSITION (decoder.py:1490-1531), then
+           greedy overlap resolution runs over the tuples.
+
+        ``decoder_mode="prompt"`` generates one name per prompt class
+        and substitutes it into id_to_classes (decoder.py:1486-1488) —
+        entities carry the generated name as their ``label``.
+        """
+        from ..kernel.decoding import (
+            decode_candidate_span_probs,
+            extract_spans_from_token_probs,
+        )
+        from .generative import build_span_label_map, updated_id_to_classes
+
+        token_embs = self.encoder.embed_tokens(tokens)
+        logits = self.encoder.token_label_scores(token_embs, self.label_embs)
+        tp = sigmoid(logits)  # (W, C, 3)
+        cand = extract_spans_from_token_probs(
+            tp[:, :, 0], tp[:, :, 1], tp[:, :, 2], thr
+        )
+        if len(cand) == 0:
+            return []
+        cand_reps = self.encoder.span_representations_tokens(tokens, cand)
+        span_probs = sigmoid(
+            self.encoder.score_spans(cand_reps, self.label_embs)
+        )  # (E, C)
+        dec = self._generative_decoder(gen_constraints)
+        id_to_class = self.id_to_class
+        span_label_map: Dict[int, List[str]] = {}
+        if decoder_mode == "prompt":
+            gen = dec.generate_labels(
+                self.label_embs,
+                constraints=gen_constraints,
+                num_return_sequences=1,
+                max_new_tokens=max_new_tokens,
+            )
+            id_to_class = updated_id_to_classes(self.id_to_class, gen)
+        elif decoder_mode == "span":
+            keep = span_probs.max(axis=1) > 0.5  # hard-coded (base.py:1702)
+            sel = np.nonzero(keep)[0]
+            if len(sel):
+                gen = dec.generate_labels(
+                    cand_reps[sel],
+                    constraints=gen_constraints,
+                    num_return_sequences=num_gen_sequences,
+                    max_new_tokens=max_new_tokens,
+                )
+                span_label_map = build_span_label_map(
+                    sel, gen, num_gen_sequences
+                )
+        else:
+            raise ValueError(f"unknown decoder_mode: {decoder_mode!r}")
+        spans = decode_candidate_span_probs(
+            span_probs,
+            cand,
+            id_to_class,
+            span_label_map=span_label_map,
+            threshold=thr,
+            flat_ner=self.config.flat_ner,
+            multi_label=self.config.multi_label,
+        )
+        entities = map_spans_to_char(spans, text, starts, ends)
+        for span, ent in zip(spans, entities):
+            if span.generated_labels is not None:
+                ent["generated_labels"] = span.generated_labels
         return entities
 
     @staticmethod

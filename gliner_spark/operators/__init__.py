@@ -53,6 +53,7 @@ from .extract import (
 from .kge_scores import score_triples
 from .linking import link_mentions
 from .graph_stats import degree_stats, entity_cooccurrence, pagerank
+from .redact import redact_entity_mentions
 from .robots import parse_robots, robots_filter, robots_rules_df
 from .multimodal import decode_media, frame_sample, media_metadata
 from .sessions import sessionize
@@ -86,6 +87,7 @@ __all__ = [
     "degree_stats",
     "entity_cooccurrence",
     "parse_robots",
+    "redact_entity_mentions",
     "robots_filter",
     "robots_rules_df",
     "docred_string_f1",
