@@ -153,6 +153,55 @@ class TestEntityGates:
         allowed = set(entry.GEN_CONSTRAINTS)
         assert all(part in allowed for g in gens for part in g.split("|"))
 
+    def test_biencoder_token(self, spark, docs, sf_dir):
+        """BiEncoderTokenGLiNER analog (reference model.py:2033): TOKEN
+        scoring against a DRIVER-precomputed label matrix — the
+        predict_with_embeds contract on the token family."""
+        from gliner_spark.model.encoder import get_encoder
+
+        embs = get_encoder(64, 42).embed_labels(entry.ENT_LABELS)
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [],
+            PipelineConfig(threshold=0.4, mode="token"),
+            label_embeddings=embs,
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_entities_biencoder_token", sf_dir),
+            _kernel_entities(docs, pipe),
+        )
+
+    def test_genlabels_token(self, spark, docs, sf_dir):
+        """UniEncoderTokenDecoderGLiNER analog (model.py:2346,
+        TokenGenerativeDecoder): distributed gate rows — including the
+        candidate-position-keyed generated strings — must equal the
+        single-process kernel's bit-for-bit."""
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [], PipelineConfig(threshold=0.35, mode="token")
+        )
+        rows = []
+        for doc_id, text in docs:
+            for e in pipe.predict_entities_generative(
+                text, "en", gen_constraints=entry.GEN_CONSTRAINTS,
+                num_gen_sequences=2,
+            ):
+                rows.append(
+                    (
+                        doc_id, e["start"], e["end"], e["text"], e["label"],
+                        float(e["score"]),
+                        "|".join(e.get("generated_labels") or []),
+                    )
+                )
+        got = _spark_rows(spark, "kg_entities_genlabels_token", sf_dir)
+        _assert_equal(got, sorted(rows))
+        # non-vacuity: generation varies across spans, stays inside the
+        # closed constraint set, and some decoder-kept span actually
+        # carries labels (the 0.5 keep cut is stricter than the 0.35
+        # decode threshold, so both populated and empty are possible)
+        gens = {r[-1] for r in got if r[-1]}
+        assert len(gens) > 1
+        allowed = set(entry.GEN_CONSTRAINTS)
+        assert all(part in allowed for g in gens for part in g.split("|"))
+
     def test_rnn(self, spark, docs, sf_dir):
         pipe = GLiNERPipeline(
             entry.ENT_LABELS, [],

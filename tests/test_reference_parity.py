@@ -1006,3 +1006,170 @@ class TestGenerativeBookkeepingParity:
             ours = updated_id_to_classes(id_to_classes[b], gen[cursor : cursor + k])
             assert ours == ref_out[b]
             cursor += k
+
+
+class TestTokenGenerativeDecodeParity:
+    """Token-generative decode bookkeeping differential
+    (TokenGenerativeDecoder.decode_generative, decoder.py:1438-1533)
+    against our decode_candidate_span_probs + build_span_label_map
+    composition.
+
+    Upstream defect, pinned here: decode_generative appends RAW
+    5-tuples (decoder.py:1529) but BaseDecoder.greedy_search reads
+    ``.score``/``.start`` attributes (decoder.py:99-115), so the
+    reference path crashes as written. The differential therefore runs
+    the reference through a minimal adapter subclass whose
+    greedy_search converts each tuple to the reference's own Span
+    dataclass, calls the REFERENCE BaseDecoder.greedy_search, and
+    converts back — every decision (selection order, overlap
+    predicates, gen-label keying by candidate position, id_to_classes
+    substitution in prompt mode) is still the reference's code."""
+
+    def _mk_dec(self, dec_mod, decoder_mode):
+        cfg = types.SimpleNamespace(decoder_mode=decoder_mode, labels_decoder="x")
+
+        class _Adapted(dec_mod.TokenGenerativeDecoder):
+            def greedy_search(self, spans, flat_ner=True, multi_label=False):
+                as_spans = [
+                    dec_mod.Span(
+                        start=t[0], end=t[1], entity_type=t[2],
+                        score=t[4], generated_labels=t[3],
+                    )
+                    for t in spans
+                ]
+                return dec_mod.BaseDecoder.greedy_search(
+                    self, as_spans, flat_ner, multi_label
+                )
+
+        return _Adapted(cfg)
+
+    def test_reference_crashes_on_raw_tuples(self, ref_decoder_live):
+        """The unadapted reference decode_generative is not executable:
+        tuples reach Span-expecting greedy_search (upstream defect our
+        kernel does not reproduce)."""
+        import numpy as np
+
+        cfg = types.SimpleNamespace(decoder_mode="span", labels_decoder="x")
+        dec = ref_decoder_live.TokenGenerativeDecoder(cfg)
+        S, C, W = 3, 2, 5
+        span_idx = np.stack([np.arange(S), np.arange(S)], axis=1)[None]
+        with pytest.raises(AttributeError, match="score"):
+            dec.decode_generative(
+                tokens=[["t"] * W], id_to_classes={1: "A", 2: "B"},
+                model_output=_NT(np.zeros((1, W, C, 3))),
+                gen_labels=["g"] * S,
+                sel_idx=_NT(np.array([[0, 1, 2]])),
+                num_gen_sequences=1, flat_ner=True, threshold=0.0,
+                multi_label=False,
+                span_logits=_NT(np.full((1, S, C), 5.0)),
+                span_idx=_NT(span_idx),
+                span_mask=_NT(np.ones((1, S), dtype=bool)),
+            )
+
+    def test_span_mode_random(self, ref_decoder_live):
+        import numpy as np
+
+        from gliner_spark.kernel.decoding import (
+            decode_candidate_span_probs,
+            sigmoid,
+        )
+        from gliner_spark.model.generative import build_span_label_map
+
+        rng = np.random.default_rng(20260818)
+        id_to_class = {1: "A", 2: "B", 3: "C"}
+        C = 3
+        for case in range(60):
+            S = int(rng.integers(1, 9))
+            W = int(rng.integers(3, 10))
+            n_seq = int(rng.integers(1, 3))
+            flat = bool(case % 2)
+            ml = bool((case // 2) % 2)
+            thr = float(rng.choice([0.3, 0.5, 0.6]))
+            span_logits = rng.normal(size=(1, S, C)) * 2
+            starts = rng.integers(0, W, size=S)
+            widths = rng.integers(0, 3, size=S)
+            span_idx = np.stack([starts, starts + widths], axis=1)[None]
+            # half the cases: full mask (the production invariant —
+            # our candidate list is packed); half: random partial mask
+            if case % 2 == 0:
+                mask = np.ones(S, dtype=bool)
+            else:
+                mask = rng.random(S) > 0.3
+            valid = np.nonzero(mask)[0]
+            # decoder-kept subset of the valid candidates, reference
+            # keep rule: sigmoid(span_logits).max(-1) > 0.5
+            sp_full = sigmoid(span_logits[0])
+            kept_full = [
+                int(i) for i in valid if sp_full[i].max() > 0.5
+            ]
+            sel_row = kept_full + [-1] * (S - len(kept_full))
+            gen_labels = [
+                f"lab{i}" for i in range(len(kept_full) * n_seq)
+            ]
+            ref_out = self._mk_dec(ref_decoder_live, "span").decode_generative(
+                tokens=[["t"] * W], id_to_classes=id_to_class,
+                model_output=_NT(np.zeros((1, W, C, 3))),
+                gen_labels=gen_labels,
+                sel_idx=_NT(np.array([sel_row])),
+                num_gen_sequences=n_seq, flat_ner=flat, threshold=thr,
+                multi_label=ml,
+                span_logits=_NT(span_logits), span_idx=_NT(span_idx),
+                span_mask=_NT(mask[None]),
+            )[0]
+            # ours: packed candidates = the valid rows, label-map keys
+            # remapped full-position → packed-position (identity when
+            # the mask is full — the production case)
+            packed_of = {int(f): p for p, f in enumerate(valid)}
+            our_map = build_span_label_map(
+                [packed_of[f] for f in kept_full], gen_labels, n_seq
+            )
+            got = decode_candidate_span_probs(
+                sp_full[valid], span_idx[0][valid], id_to_class,
+                span_label_map=our_map, threshold=thr,
+                flat_ner=flat, multi_label=ml,
+            )
+            assert [
+                (s.start, s.end, s.entity_type, s.score, tuple(s.generated_labels or []))
+                for s in got
+            ] == [
+                (s.start, s.end, s.entity_type, s.score, tuple(s.generated_labels or []))
+                for s in ref_out
+            ], (case, flat, ml, thr)
+
+    def test_prompt_mode_random(self, ref_decoder_live):
+        import numpy as np
+
+        from gliner_spark.kernel.decoding import (
+            decode_candidate_span_probs,
+            sigmoid,
+        )
+        from gliner_spark.model.generative import updated_id_to_classes
+
+        rng = np.random.default_rng(7)
+        id_to_class = {1: "A", 2: "B", 3: "C"}
+        C = 3
+        for case in range(20):
+            S = int(rng.integers(1, 7))
+            W = 8
+            span_logits = rng.normal(size=(1, S, C)) * 2
+            starts = rng.integers(0, W, size=S)
+            span_idx = np.stack([starts, starts + rng.integers(0, 3, size=S)], axis=1)[None]
+            gen = [f"gen{i}" for i in range(C)]
+            ref_out = self._mk_dec(ref_decoder_live, "prompt").decode_generative(
+                tokens=[["t"] * W], id_to_classes=id_to_class,
+                model_output=_NT(np.zeros((1, W, C, 3))),
+                gen_labels=gen, sel_idx=None, num_gen_sequences=1,
+                flat_ner=True, threshold=0.4, multi_label=False,
+                span_logits=_NT(span_logits), span_idx=_NT(span_idx),
+                span_mask=_NT(np.ones((1, S), dtype=bool)),
+            )[0]
+            got = decode_candidate_span_probs(
+                sigmoid(span_logits[0]), span_idx[0],
+                updated_id_to_classes(id_to_class, gen),
+                threshold=0.4,
+            )
+            assert [
+                (s.start, s.end, s.entity_type, s.score) for s in got
+            ] == [
+                (s.start, s.end, s.entity_type, s.score) for s in ref_out
+            ], case
