@@ -151,6 +151,7 @@ MINHASH_K = 8
 MINHASH_BANDS = 4
 ANN_K = 5
 ANN_NQ = 50  # queries = vec_id < 50
+IVF_NC = 8  # pinned IVF quantizer: centroids = embeddings of vec_id < 8
 BUCKET_BITS = 8
 # the blocked-dedup gate buckets coarser than ANN: at 8 bits the tiny
 # test corpus has NO same-bucket pair above the cosine threshold, so
@@ -585,6 +586,18 @@ ROBOTS_TXT = {
         "# comment\nUser-agent: other\nDisallow: /\n"
         "User-agent: *\nDisallow: /p2\nDisallow: /p35\n"
     ),
+    # RFC 9309 precedence fixtures (round-4 verdict item #5): an Allow
+    # carve-out inside a Disallow subtree (longest match keeps /p12*),
+    # and an equal-length allow/disallow tie (allow wins: /p33* kept)
+    "www.site5.example.com": (
+        "User-agent: *\nDisallow: /p1\nAllow: /p12\n"
+        "Allow: /p33\nDisallow: /p33\n"
+    ),
+    # wildcard/anchor fixtures: '/p2*34' truncates to the conservative
+    # prefix '/p2'; '/p4$' drops its anchor and over-drops as '/p4'
+    "www.site6.example.com": (
+        "User-agent: *\nDisallow: /p2*34\nDisallow: /p4$\n"
+    ),
 }
 
 
@@ -934,17 +947,30 @@ def q_kg_triples_kge_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer + multi-probe) — rows-only
-    check (centroids are seeded but float-cluster-dependent)."""
+    """IVF ANN over a PINNED deterministic quantizer (r4 verdict item
+    #6): the centroids are the embeddings of ``vec_id < IVF_NC`` — a
+    fixed-sample init with zero k-means iterations — so assignment,
+    multi-probe and ranking are all exact relational operations and the
+    gate carries a hash-exact DuckDB oracle. IVF correctness (does the
+    search scan exactly the probed cells?) never depended on quantizer
+    quality; the TRAINED quantizer (seeded sample + KMeans, recall vs
+    brute force) stays covered by tests/test_similarity.py and the
+    kernel-oracle test. The IVF_NC-row collect is the bounded quantizer
+    bootstrap (8 rows, documented), not a data-path collect."""
+    import numpy as np
+
     from gliner_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    # train_size exercises the sampled-quantizer path at bench scale
-    # (sf0.1 has 5000 vectors > 2048): the fit sees a bounded seeded
-    # sample, the search still scans probed cells exactly.
+    cent_rows = (
+        emb.where(F.col("vec_id") < IVF_NC).orderBy("vec_id").collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows]
+    )
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < ANN_NQ), k=ANN_K,
-        n_centroids=8, n_probe=2, max_iter=8, train_size=2048,
+        n_probe=2, centroids=centroids,
     )
 
 
@@ -1865,6 +1891,10 @@ FROM ents GROUP BY 1, 2
         # Java/RE2 subset imported from the SAME module constants
         "text_pii": _text_pii_sql(),
         "text_pii_ner": _text_pii_ner_sql(),
+        # RFC 9309 longest-match semantics spelled out per host:
+        # site5's Allow /p12 carves /p12* out of Disallow /p1, the
+        # equal-length /p33 tie resolves to allow; site6's wildcard
+        # and $-anchored Disallows act as conservative prefixes
         "web_robots_filter": """
 WITH d AS (
   SELECT doc_id,
@@ -1876,6 +1906,8 @@ WITH d AS (
 SELECT doc_id, url FROM d
 WHERE NOT (doc_id % 7 = 0 AND path LIKE '/p1%')
   AND NOT (doc_id % 7 = 3 AND (path LIKE '/p2%' OR path LIKE '/p35%'))
+  AND NOT (doc_id % 7 = 5 AND path LIKE '/p1%' AND NOT path LIKE '/p12%')
+  AND NOT (doc_id % 7 = 6 AND (path LIKE '/p2%' OR path LIKE '/p4%'))
 """,
         "kg_export_ntriples": f"""
 WITH {_TOKS_CTE.strip().rstrip(',')},
@@ -2176,6 +2208,44 @@ WITH scored AS (
          list_cosine_similarity(q.embedding, c.embedding) AS cos
   FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
   WHERE q.vec_id < {ANN_NQ}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
+""",
+        # IVF with the pinned fixed-sample quantizer: assignment is
+        # argmin over ||c||² - 2·x·c (the ||x||² term drops out of the
+        # per-row argsort, mirroring the operator's UDF), DOUBLE[] casts
+        # keep both engines in float64, ties break on centroid id
+        "ann_ivf": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+         list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS c2
+  FROM embeddings WHERE vec_id < {IVF_NC}
+),
+dist AS (
+  SELECT e.vec_id, c.cid,
+         c.c2 - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+rk AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+  FROM dist
+),
+corpus_cell AS (SELECT vec_id, cid FROM rk WHERE r = 1),
+probe AS (SELECT vec_id, cid FROM rk WHERE r <= 2 AND vec_id < {ANN_NQ}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(qe.embedding, ce.embedding) AS cos
+  FROM probe q
+  JOIN corpus_cell c ON c.cid = q.cid AND c.vec_id != q.vec_id
+  JOIN embeddings qe ON qe.vec_id = q.vec_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id,

@@ -96,8 +96,13 @@ def parse_warc(blob: bytes, stats: Dict[str, int] | None = None) -> List[Dict[st
         the bare version magic, because garbage spans need not end
         with CRLF; only the already-corrupt span is scanned, so a
         payload containing the magic is not at risk (valid records
-        are never searched)."""
-        nxt = blob.find(b"WARC/1.", bad_pos + 1)
+        are never searched). The magic is 'WARC/' — the same prefix
+        the header parser accepts (ADVICE r4: resyncing on 'WARC/1.'
+        while parsing any 'WARC/' version dropped the remainder of a
+        WARC/0.x or future-version archive after one corrupt span);
+        a false positive mid-garbage just fails the header parse and
+        resyncs again, so the looser magic costs nothing."""
+        nxt = blob.find(b"WARC/", bad_pos + 1)
         return nxt if nxt >= 0 else n
 
     while pos < n:

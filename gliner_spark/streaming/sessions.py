@@ -15,11 +15,15 @@ semantics required. Compare ``streaming/stateful.py`` where the
 first-seen semantics genuinely need custom state.
 
 Boundary semantics vs the batch operator: ``session_window`` merges
-events with inter-arrival STRICTLY LESS than the gap, while the batch
-operator keeps ``delta == gap`` in-session (LAG-based ``> gap`` split).
-An event stream with continuous timestamps never hits the boundary;
-the equivalence test avoids exact-gap deltas and the docstrings of
-both operators record the difference.
+events with inter-arrival STRICTLY LESS than its window gap, while the
+batch operator keeps ``delta == gap`` in-session (LAG-based ``> gap``
+split). To reconcile the off-by-one (ADVICE r4: exact-cadence event
+data showed divergent session counts to consumers comparing the two
+tables), the internal window is ``gap_seconds*1000 + 1`` MILLISECONDS:
+both operators now split exactly when ``delta >= gap + 1ms``, and the
+equivalence test includes exact-gap deltas. Event timestamps have ms
+precision here (ts_epoch_ms), so the +1 ms can never move a real
+event across the boundary the other way.
 
 Scale notes: state is keyed by (user, open session) — O(active users)
 rows, not O(events). A bot user with events every second keeps ONE
@@ -61,11 +65,13 @@ def streaming_sessionize(
     # timestamp_millis makes inter-event gaps equal the NTZ deltas in
     # EVERY session timezone, so window membership matches batch.
     with_event_ts = stream_df.withColumn("__event_ts", F.timestamp_millis(ms))
+    # gap + 1 ms: batch-parity boundary (see module docstring)
+    gap_ms = gap_seconds * 1000 + 1
     return (
         with_event_ts.withWatermark("__event_ts", watermark)
         .groupBy(
             F.col(user_col).alias("user_id"),
-            F.session_window(F.col("__event_ts"), f"{gap_seconds} seconds"),
+            F.session_window(F.col("__event_ts"), f"{gap_ms} milliseconds"),
         )
         .agg(
             F.min(ms).alias("session_start_ms"),

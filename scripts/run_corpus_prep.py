@@ -134,6 +134,7 @@ def main():
     # to BIGINT first: an int32 input column would silently wrap the
     # multiply) must stay < ~9.2e12 — re-key larger ids upstream.
     _SPACING = 1_000_000
+    _MAX_DOC_ID = 9_223_372_036_854 - 1  # BIGINT max // spacing, head-roomed
     safe_idx = F.when(
         F.col("chunk_idx") < F.lit(_SPACING), F.col("chunk_idx")
     ).otherwise(
@@ -142,8 +143,19 @@ def main():
                   "than stride*1e6 words — raise the spacing")
         ).cast("int")
     )
+    # the doc_id bound gets the SAME loud treatment (ADVICE r4): under
+    # default non-ANSI mode a doc_id past ~9.2e12 would silently wrap
+    # the BIGINT multiply, colliding uids and corrupting packing order
+    safe_doc = F.when(
+        F.col("doc_id").cast("long") <= F.lit(_MAX_DOC_ID), F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.lit("doc_id exceeds the chunk_uid headroom (~9.2e12): "
+                  "re-key document ids upstream before chunking")
+        ).cast("long")
+    )
     chunked = chunks.select(
-        (F.col("doc_id").cast("long") * F.lit(_SPACING).cast("long")
+        (safe_doc.cast("long") * F.lit(_SPACING).cast("long")
          + safe_idx).alias("chunk_uid"),
         "doc_id", "chunk_idx", "chunk_text",
         F.col("n_words_chunk").cast("long").alias("n_tokens"),

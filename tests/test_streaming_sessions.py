@@ -12,15 +12,18 @@ GAP_S = 3600
 
 
 def make_events(seed=7, users=5, per_user=40):
-    """Seeded event history: inter-arrival gaps drawn from values well
-    away from the exact gap boundary (see the boundary-semantics note
-    in streaming/sessions.py)."""
+    """Seeded event history INCLUDING exact-gap and gap+1s deltas: the
+    +1 ms internal window (streaming/sessions.py, ADVICE r4) makes the
+    boundary semantics identical to batch — delta == gap stays
+    in-session in both, delta == gap+1s splits in both — so the
+    equivalence sweep now deliberately hits the boundary it once had
+    to avoid."""
     rng = random.Random(seed)
     rows, eid = [], 0
     for u in range(users):
         t = 0
         for _ in range(per_user):
-            t += rng.choice([10, 100, 1000, 5000])
+            t += rng.choice([10, 100, 1000, 5000, GAP_S, GAP_S + 1])
             rows.append((eid, T0 + dt.timedelta(seconds=t), u))
             eid += 1
     return rows
