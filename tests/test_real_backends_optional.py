@@ -21,6 +21,8 @@ image with transformers). They need NO network and NO model downloads:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.real_backend  # select via `pytest -m real_backend`
+
 from gliner_spark.kernel.decoding import sigmoid
 from gliner_spark.model.onnx_backend import (
     SPAN_INPUT_NAMES,
