@@ -70,6 +70,19 @@ class TestExchangeBudget:
         assert plan.count("Exchange") <= 2  # formatted lists node + detail
         assert "SortMergeJoin" not in plan
 
+    def test_prefanned_input_is_not_repartitioned_again(self, spark, pages_path):
+        """Round-4 regression class: input that an upstream stage
+        already fanned out (the entry's _read_fanned, a caller's salted
+        repartition) must NOT gain a second exchange inside the
+        operator — _ensure_parallelism sees the Repartition node and
+        stands down. The double exchange was the r4 mt_*/small-gate
+        overhead doubling (VERDICT r4 item #4)."""
+        pre = read_pages(spark, pages_path).repartition(8)
+        ents = extract_entities(pre, LABELS)
+        plan = formatted_plan(ents)
+        # exactly the caller's exchange: one node + one detail line
+        assert plan.count("Exchange") <= 2, plan
+
     def test_wholestage_codegen_covers_relational_glue(self, spark, pages_path):
         df = read_pages(spark, pages_path).where(F.trim("text") != "")
         # formatted mode tags codegen'd operators with "[codegen id : N]"
