@@ -29,6 +29,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, List, Optional, Sequence
 
 import pandas as pd
@@ -49,6 +50,11 @@ TRIPLE_SCHEMA = (
 )
 
 _PIPELINE_CACHE: dict = {}
+
+
+# logical-plan node for df.repartition(n): 'Repartition <n>, true'
+# (true = shuffle); coalesce prints ', false' and must NOT match
+_SHUFFLE_REPARTITION_RE = re.compile(r"Repartition \d+, true")
 
 
 def _ensure_parallelism(df: DataFrame, min_partitions: Optional[int]) -> DataFrame:
@@ -78,7 +84,15 @@ def _ensure_parallelism(df: DataFrame, min_partitions: Optional[int]) -> DataFra
     # plan→RDD translation.
     try:
         plan = df._jdf.queryExecution().logical().toString()
-        if "Repartition" in plan or "Rebalance" in plan:
+        # SHUFFLE repartitions only: 'Repartition N, true' (round-robin),
+        # 'RepartitionByExpression' (keyed/salted), 'RebalancePartitions'.
+        # A coalesce prints 'Repartition 1, false' — that is a SHRINK,
+        # not a fan-out, and must still be repartitioned below.
+        if (
+            "RepartitionByExpression" in plan
+            or "RebalancePartitions" in plan
+            or _SHUFFLE_REPARTITION_RE.search(plan)
+        ):
             return df
     except Exception:
         pass  # plan introspection is best-effort; fall through to probes
