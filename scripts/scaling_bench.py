@@ -121,9 +121,12 @@ out = {{}}
 for name in {jobs!r}:
     fn = entry.queries()[name]
     bench.force(fn(spark, {sf_dir!r}))          # warmup (JIT, code cache)
-    t0 = time.perf_counter()
-    bench.force(fn(spark, {sf_dir!r}))
-    out[name] = time.perf_counter() - t0
+    samples = []
+    for _ in range(3):                          # min-of-3: C2 compilation of
+        t0 = time.perf_counter()                # 30+ codegen stages lands on
+        bench.force(fn(spark, {sf_dir!r}))      # random early runs at high
+        samples.append(time.perf_counter() - t0)  # core counts (measured:
+    out[name] = min(samples)                    # 23/16/20 s then steady 4.3)
 print("RESULT " + json.dumps({{"cpus": cpus, "n_docs": n_docs, "secs": out}}))
 spark.stop()
 """
@@ -299,7 +302,7 @@ def main():
         f"## Scaling run (local[{n_small}] vs local[{n_big}], {SF_DIR} ×{REPLICAS}, {n_docs} docs)",
         "",
         "Same job, same input, two parallelism levels (separate JVMs,",
-        "warmed up, best of 2). efficiency = tput(4N) / (4 · tput(N)).",
+        "warmed up, min of 3). efficiency = tput(4N) / (4 · tput(N)).",
         "",
         f"Hardware control (same kernel, plain multiprocessing, no Spark):",
         f"{ceiling[n_small]:.0f} docs/s @{n_small}p → {ceiling[n_big]:.0f} docs/s @{n_big}p"
