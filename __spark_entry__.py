@@ -464,6 +464,25 @@ def q_kg_entities_biencoder_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
 
 
+def q_kg_entities_biencoder_token_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-encoder TOKEN ONNX graph contract (BiEncoderTokenGLiNER +
+    BiEncoderTokenORTModel, reference model.py:2033-2070): token-family
+    inputs (no span grid, no text prompt) + the driver-precomputed
+    labels_embeddings tensor; (3,B,W,C) position-first logits decoded
+    with the BIO min rule. Rows-only check (kernel oracle in
+    tests/test_kernel_oracle.py)."""
+    from gliner_spark.model.encoder import get_encoder
+    from gliner_spark.model.ort_testing import fake_biencoder_token_encoder_factory
+
+    embs = get_encoder(64, 42).embed_labels(ENT_LABELS)
+    ents = extract_entities(
+        _pages(spark, sf_dir), labels=ENT_LABELS, threshold=0.4, lang_col=None,
+        mode="token", encoder_factory=fake_biencoder_token_encoder_factory,
+        label_embeddings=embs,
+    )
+    return _as_doc_id(ents).select("doc_id", "start", "end", "text", "label", "score")
+
+
 def q_kg_triples_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint relex through the ONNX relex graph contract (4-output
     session: logits/rel_idx/rel_logits/rel_mask) — rows-only check."""
@@ -1340,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_onnx": q_kg_entities_onnx,
         "kg_entities_tokenmode_onnx": q_kg_entities_tokenmode_onnx,
         "kg_entities_biencoder_onnx": q_kg_entities_biencoder_onnx,
+        "kg_entities_biencoder_token_onnx": q_kg_entities_biencoder_token_onnx,
         "kg_triples_onnx": q_kg_triples_onnx,
         "kg_triples_tokenmode": q_kg_triples_tokenmode,
         "kg_triples_tokenmode_onnx": q_kg_triples_tokenmode_onnx,

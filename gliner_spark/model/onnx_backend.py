@@ -53,6 +53,11 @@ TOKEN_INPUT_NAMES = ("input_ids", "attention_mask", "words_mask", "text_lengths"
 # gliner/onnx/model.py:160-220): the text feed carries NO label prompt
 # — labels arrive as a (C, D) float tensor.
 BIENCODER_SPAN_INPUT_NAMES = SPAN_INPUT_NAMES + ("labels_embeddings",)
+# Bi-encoder TOKEN model (BiEncoderTokenGLiNER, gliner/model.py:2033-
+# 2070 + BiEncoderTokenORTModel): token-family base inputs (no span
+# grid) plus the precomputed labels_embeddings tensor; logits come
+# back position-first (3, B, W, C) like every token graph.
+BIENCODER_TOKEN_INPUT_NAMES = TOKEN_INPUT_NAMES + ("labels_embeddings",)
 
 
 @dataclass
@@ -388,5 +393,44 @@ class OnnxBiEncoderSpanEncoder(OnnxSpanEncoder):
         logits = np.asarray(outputs[0])  # (B, max_words, K, C)
         return [
             sigmoid(logits[b, : meta.word_counts[b]])
+            for b in range(len(batch_tokens))
+        ]
+
+
+class OnnxBiEncoderTokenEncoder(OnnxTokenEncoder):
+    """Bi-encoder TOKEN graph (BiEncoderTokenGLiNER, gliner/model.py:
+    2033-2070): token-family inputs (no span grid, no ``<<ENT>>``
+    prompt in the text) plus the driver-precomputed ``labels_embeddings``
+    tensor; (3, B, W, C) position-first logits out. The M8 precompute
+    win on the token session backend — the label encoder runs C times
+    per JOB, never per batch."""
+
+    accepts_label_embeddings = True
+
+    def token_probs(
+        self,
+        batch_tokens: Sequence[Sequence[str]],
+        labels: Sequence[str],
+        label_embeddings: Optional[np.ndarray] = None,
+    ) -> List[np.ndarray]:
+        if label_embeddings is None:
+            raise ValueError(
+                "bi-encoder session graphs take precomputed label "
+                "embeddings (the labels_embeddings input); compute them "
+                "once with encode_labels and pass them through the "
+                "pipeline's label_embeddings parameter"
+            )
+        feed, meta = build_span_feed(
+            batch_tokens, labels, self.tokenizer, self.max_width,
+            include_span_grid=False, label_embeddings=label_embeddings,
+        )
+        outputs = self._run(feed)
+        logits = np.asarray(outputs[0])  # (3, B, W, C)
+        if logits.ndim != 4 or logits.shape[0] != 3:
+            raise ValueError(
+                f"token graph must emit (3, B, W, C) logits, got {logits.shape}"
+            )
+        return [
+            sigmoid(np.transpose(logits[:, b, : meta.word_counts[b], :], (1, 2, 0)))
             for b in range(len(batch_tokens))
         ]

@@ -34,6 +34,7 @@ import numpy as np
 from .encoder import _hash_seed, _mm
 from .onnx_backend import (
     BIENCODER_SPAN_INPUT_NAMES,
+    BIENCODER_TOKEN_INPUT_NAMES,
     RELEX_OUTPUT_NAMES,
     SPAN_INPUT_NAMES,
     SPAN_OUTPUT_NAMES,
@@ -429,3 +430,37 @@ def fake_biencoder_span_encoder_factory():
     from .onnx_backend import OnnxBiEncoderSpanEncoder
 
     return OnnxBiEncoderSpanEncoder(session=FakeBiEncoderSpanSession())
+
+
+class FakeBiEncoderTokenSession(FakeTokenSession):
+    """Bi-encoder TOKEN graph fake (BiEncoderTokenGLiNER,
+    gliner/model.py:2033-2070): token-family inputs — no span grid, no
+    ``<<ENT>>`` prompt in the text — with the label features arriving
+    as the ``labels_embeddings`` (C, D) input; (3, B, W, C)
+    position-first logits out. As with the span variant, the fake
+    USES the tensor: a pipeline that failed to thread the embeddings
+    (or threaded a wrong shape) changes the logits, so tests exercise
+    the real feed path."""
+
+    input_names: Sequence[str] = BIENCODER_TOKEN_INPUT_NAMES
+
+    def run(self, output_names, feed: Dict[str, np.ndarray]):
+        if "labels_embeddings" not in feed:
+            raise ValueError(
+                "bi-encoder graph requires the labels_embeddings input"
+            )
+        state = self._encode(feed)
+        embs = np.asarray(feed["labels_embeddings"], dtype=np.float64)
+        if embs.ndim != 2 or embs.shape[1] != self.dim:
+            raise ValueError(
+                f"labels_embeddings must be (C, {self.dim}), got {embs.shape}"
+            )
+        state["prompts"] = np.repeat(embs[None], state["B"], axis=0)
+        state["C"] = embs.shape[0]
+        return [self._token_logits(state)]
+
+
+def fake_biencoder_token_encoder_factory():
+    from .onnx_backend import OnnxBiEncoderTokenEncoder
+
+    return OnnxBiEncoderTokenEncoder(session=FakeBiEncoderTokenSession())

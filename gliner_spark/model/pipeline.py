@@ -769,8 +769,15 @@ class GLiNERPipeline:
         from ..kernel.decoding import decode_token_scores
 
         if hasattr(self.encoder, "token_probs"):
-            # token-mode ONNX graph (OnnxTokenEncoder): (W, C, 3) probs
-            probs = self.encoder.token_probs([tokens], self.labels)[0]
+            # token-mode ONNX graph (OnnxTokenEncoder): (W, C, 3) probs;
+            # bi-encoder token graphs additionally ride the precomputed
+            # label matrix (BiEncoderTokenGLiNER, model.py:2033-2070)
+            if getattr(self.encoder, "accepts_label_embeddings", False):
+                probs = self.encoder.token_probs(
+                    [tokens], self.labels, label_embeddings=self.label_embs
+                )[0]
+            else:
+                probs = self.encoder.token_probs([tokens], self.labels)[0]
         elif not hasattr(self.encoder, "token_label_scores"):
             raise ValueError(
                 "token mode needs a token-scoring backend (DeterministicEncoder "

@@ -71,6 +71,7 @@ class TestContract:
             "kg_entities_onnx",
             "kg_entities_tokenmode_onnx",
             "kg_entities_biencoder_onnx",
+            "kg_entities_biencoder_token_onnx",
             "kg_triples_onnx",
             "kg_triples_tokenmode",
             "kg_triples_tokenmode_onnx",

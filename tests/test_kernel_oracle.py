@@ -262,6 +262,27 @@ class TestSessionGates:
             _kernel_entities(docs, pipe),
         )
 
+    def test_entities_biencoder_token_onnx(self, spark, docs, sf_dir):
+        """Bi-encoder TOKEN ONNX contract (BiEncoderTokenGLiNER,
+        model.py:2033-2070): precomputed label matrix + token inputs,
+        no prompt, (3,B,W,C) logits — distributed vs kernel."""
+        from gliner_spark.model.encoder import get_encoder
+        from gliner_spark.model.ort_testing import (
+            fake_biencoder_token_encoder_factory,
+        )
+
+        embs = get_encoder(64, 42).embed_labels(entry.ENT_LABELS)
+        pipe = GLiNERPipeline(
+            entry.ENT_LABELS, [],
+            PipelineConfig(threshold=0.4, mode="token"),
+            encoder=fake_biencoder_token_encoder_factory(),
+            label_embeddings=embs,
+        )
+        _assert_equal(
+            _spark_rows(spark, "kg_entities_biencoder_token_onnx", sf_dir),
+            _kernel_entities(docs, pipe),
+        )
+
     def test_triples_onnx(self, spark, docs, sf_dir):
         from gliner_spark.model.ort_testing import fake_relex_encoder_factory
 
