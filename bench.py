@@ -40,7 +40,14 @@ def build_session(cpus: int):
     return (
         SparkSession.builder.appName("gliner-spark-bench")
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+        # Shuffle-partition sizing is a MEMORY knob, not just a
+        # parallelism knob: at 2*cpus partitions the minhash verify
+        # join's per-task hash aggregates over ~19M shingle rows ran
+        # 32-concurrent into shared heap and collapsed 5x (measured
+        # 78 s @64 partitions vs 13.5 s @256 on the x32 input —
+        # round-5). Start high and let AQE coalesce the small ones;
+        # at 100 TB the same rule is partitions >= bytes/200MB.
+        .config("spark.sql.shuffle.partitions", str(max(8 * cpus, 64)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
