@@ -29,7 +29,13 @@ def build_session(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
+    # Partition count is a per-task MEMORY bound before it is a
+    # parallelism knob (SCALE.md "Shuffle-partition count is a memory
+    # knob"): at 2×cores, wide joins over exploded rows ran their hash
+    # aggregates 32-concurrent into the shared local-mode heap and
+    # collapsed 5.8× (measured, round 5). Start high; AQE coalesces
+    # the small ones at runtime for free.
+    shuffle_partitions = shuffle_partitions or max(cpus * 8, 64)
 
     b = (
         SparkSession.builder.appName(app_name)
