@@ -1184,6 +1184,24 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_graph(pages)
 
 
+LM_VOCAB_K = 16  # of the corpus' 31 distinct words — forces real OOV
+LM_BIGRAM_K = 256  # of ~916 distinct bigrams — forces hit-rate spread
+
+
+def q_text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality filter, exact-arithmetic variant
+    (operators/lmstats.py): per-document OOV and bigram coverage under
+    the corpus' own top-k unigram/bigram model. The k values sit BELOW
+    the tiny test corpus' vocabulary sizes so the gate asserts a
+    non-degenerate rate spread (at production k≈2^17/2^18 on a real
+    corpus the same code is the perplexity-cutoff analog)."""
+    from gliner_spark.operators.lmstats import lm_fluency
+
+    return lm_fluency(
+        _docs(spark, sf_dir), vocab_k=LM_VOCAB_K, bigram_k=LM_BIGRAM_K
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics; the doc's first 8-word line is
     repeated 1-3x up front so duplicate-line fractions are non-trivial."""
@@ -1341,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_html_extract": q_web_html_extract,
         "web_link_graph": q_web_link_graph,
         "text_repetition": q_text_repetition,
+        "text_lm_fluency": q_text_lm_fluency,
         "corpus_host_cap": q_corpus_host_cap,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_chunk_windows": q_corpus_chunk_windows,
@@ -2438,6 +2457,52 @@ FROM s GROUP BY user_id, session_id
         "web_html_extract": _web_html_extract_sql(),
         "web_link_graph": _web_link_graph_sql(),
         "text_repetition": _text_repetition_sql(),
+        # LM-fluency oracle: same top-k model (count DESC, gram ASC —
+        # deterministic under boundary ties) and the same INT/INT-exact
+        # coverage rates
+        "text_lm_fluency": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS n FROM toks GROUP BY 1)
+  ORDER BY n DESC, w ASC LIMIT {LM_VOCAB_K}
+),
+d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+  FROM d
+),
+bvocab AS (
+  SELECT g FROM (SELECT g, count(*) AS n FROM bg GROUP BY 1)
+  ORDER BY n DESC, g ASC LIMIT {LM_BIGRAM_K}
+),
+tv AS (
+  SELECT t.doc_id, count(*) AS in_vocab
+  FROM toks t JOIN vocab v ON t.w = v.w GROUP BY 1
+),
+bv AS (
+  SELECT b.doc_id, count(*) AS in_bvocab
+  FROM bg b JOIN bvocab v ON b.g = v.g GROUP BY 1
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(greatest(len(string_split(text, ' ')) - 1, 0) AS INT) AS n_bigrams
+  FROM documents
+)
+SELECT base.doc_id, n_tokens,
+       CAST(n_tokens - COALESCE(in_vocab, 0) AS INT) AS n_oov,
+       n_bigrams,
+       CAST(COALESCE(in_bvocab, 0) AS BIGINT) AS n_common_bigrams,
+       CAST(n_tokens - COALESCE(in_vocab, 0) AS DOUBLE) / n_tokens AS oov_rate,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(COALESCE(in_bvocab, 0) AS DOUBLE) / n_bigrams
+       END AS bigram_hit_rate
+FROM base LEFT JOIN tv ON tv.doc_id = base.doc_id
+LEFT JOIN bv ON bv.doc_id = base.doc_id
+""",
         "corpus_host_cap": f"""
 WITH d AS (
   SELECT doc_id,

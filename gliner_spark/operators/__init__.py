@@ -52,6 +52,7 @@ from .extract import (
 )
 from .kge_scores import score_triples
 from .linking import link_mentions
+from .lmstats import bigram_array, lm_fluency
 from .graph_stats import degree_stats, entity_cooccurrence, pagerank
 from .redact import redact_entity_mentions
 from .robots import parse_robots, robots_filter, robots_rules_df
@@ -99,6 +100,8 @@ __all__ = [
     "frame_sample",
     "ivf_topk",
     "link_mentions",
+    "lm_fluency",
+    "bigram_array",
     "macro_prf",
     "media_metadata",
     "micro_prf",
