@@ -247,6 +247,17 @@ def _shared(spark: SparkSession, sf_dir: str, key: str, builder) -> DataFrame:
     if df is None:
         for stale in [k for k in _SHARED if k[0] != app_id]:
             _SHARED.pop(stale)
+        # bound WITHIN a live application too (the r4 _KGE_PERSISTED
+        # discipline, generalized): the realistic working set is
+        # 3 keys × 2 sf_dirs; past 8 entries release the oldest so a
+        # long session sweeping many sf_dirs cannot evict other cached
+        # data and skew later query timings
+        while len(_SHARED) >= 8:
+            old_key = next(iter(_SHARED))
+            try:
+                _SHARED.pop(old_key).unpersist()
+            except Exception:
+                _SHARED.pop(old_key, None)
         df = builder().persist()
         _SHARED[ck] = df
     return df
@@ -703,8 +714,12 @@ def q_text_pii_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retroactive robots.txt filter over the synthesized page urls:
-    broadcast anti-join on (host, Disallow-prefix) rules."""
+    """Retroactive robots.txt filter over the synthesized page urls —
+    RFC 9309 longest-match precedence: site5's ``Allow: /p12`` carves
+    /p12* out of ``Disallow: /p1`` and its equal-length /p33 pair
+    resolves to allow; site6 exercises the conservative wildcard/``$``
+    truncation. Per-host rule arrays broadcast; the verdict is a pure
+    array expression (the corpus side never shuffles)."""
     from gliner_spark.operators.robots import robots_filter, robots_rules_df
 
     pages = _docs(spark, sf_dir).select(
@@ -1696,18 +1711,24 @@ GROUP BY src_host, dst_host
 """
 
 
+# SQL mirror of _planted_pii_text() — ONE definition consumed by BOTH
+# PII oracles (the two must plant byte-identical text or the hash-exact
+# gates silently diverge on the next edit)
+_PLANTED_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' contact bob' ||"
+    " CAST(doc_id AS VARCHAR) || '@mail.example now' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' server 10.0.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.1 up' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call +1 (555) 123-4' ||"
+    " CAST(doc_id % 10 AS VARCHAR) || '67' ELSE '' END"
+)
+
+
 def _text_pii_sql() -> str:
     from gliner_spark.functions.pii import EMAIL_RE, IP_RE, PHONE_RE
 
-    planted = (
-        "text"
-        " || CASE WHEN doc_id % 5 = 0 THEN ' contact bob' ||"
-        " CAST(doc_id AS VARCHAR) || '@mail.example now' ELSE '' END"
-        " || CASE WHEN doc_id % 7 = 0 THEN ' server 10.0.' ||"
-        " CAST(doc_id % 256 AS VARCHAR) || '.1 up' ELSE '' END"
-        " || CASE WHEN doc_id % 11 = 0 THEN ' call +1 (555) 123-4' ||"
-        " CAST(doc_id % 10 AS VARCHAR) || '67' ELSE '' END"
-    )
+    planted = _PLANTED_SQL
     e, i, p = EMAIL_RE, IP_RE, PHONE_RE
     # counts are class-disjoint like the Spark side: ip counted after
     # email redaction, phone after ip redaction
@@ -1743,15 +1764,7 @@ def _text_pii_ner_sql() -> str:
     text."""
     from gliner_spark.functions.pii import EMAIL_RE, IP_RE, PHONE_RE
 
-    planted = (
-        "text"
-        " || CASE WHEN doc_id % 5 = 0 THEN ' contact bob' ||"
-        " CAST(doc_id AS VARCHAR) || '@mail.example now' ELSE '' END"
-        " || CASE WHEN doc_id % 7 = 0 THEN ' server 10.0.' ||"
-        " CAST(doc_id % 256 AS VARCHAR) || '.1 up' ELSE '' END"
-        " || CASE WHEN doc_id % 11 = 0 THEN ' call +1 (555) 123-4' ||"
-        " CAST(doc_id % 10 AS VARCHAR) || '67' ELSE '' END"
-    )
+    planted = _PLANTED_SQL
     gaz_case = " ".join(
         f"WHEN w = '{term}' THEN '<{label.upper()}>'"
         for term, label in sorted(PII_NER_GAZ.items())

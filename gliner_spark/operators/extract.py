@@ -54,7 +54,11 @@ _PIPELINE_CACHE: dict = {}
 
 # logical-plan node for df.repartition(n): 'Repartition <n>, true'
 # (true = shuffle); coalesce prints ', false' and must NOT match
-_SHUFFLE_REPARTITION_RE = re.compile(r"Repartition \d+, true")
+_SHUFFLE_REPARTITION_RE = re.compile(r"Repartition (\d+), true")
+# df.repartition(n, cols): "'RepartitionByExpression ['col], <n>";
+# the width suffix is absent when the caller let the session's
+# shuffle-partition count apply
+_KEYED_REPARTITION_RE = re.compile(r"RepartitionByExpression .*\], (\d+)")
 
 
 def _ensure_parallelism(df: DataFrame, min_partitions: Optional[int]) -> DataFrame:
@@ -73,27 +77,36 @@ def _ensure_parallelism(df: DataFrame, min_partitions: Optional[int]) -> DataFra
     if min_partitions:
         # Caller pinned a target: repartition unconditionally (no probe).
         return df.repartition(target)
-    # A repartition/rebalance already in the plan means an upstream
-    # stage (e.g. the entry's defensive _read_fanned, or a caller's own
+    # A repartition/rebalance already on the input's SPINE means an
+    # upstream stage (the entry's defensive _read_fanned, a caller's
     # salted repartition) has fanned the data out — adding another
     # exchange here would shuffle the batch a SECOND time for nothing.
     # This double exchange was the round-4 mt_*/small-gate overhead
     # doubling (VERDICT r4, next-round item #4): the inputFiles() probe
     # below sees THROUGH a Repartition node to the 1-file scan and
     # repartitioned again. Logical-plan string probe: no job, no
-    # plan→RDD translation.
+    # plan→RDD translation. Guard rails (round-5 review):
+    #  * spine only — stop scanning at the first Join/Union; a
+    #    repartition on a broadcast dimension side says nothing about
+    #    THIS input's parallelism;
+    #  * width-checked — 'Repartition N, true' with N < target is an
+    #    explicit narrow fan (or a shrink-to-1) and must still fan out;
+    #    keyed/rebalance forms without a printed width default to the
+    #    session's shuffle partitions (≥ target in practice).
     try:
         plan = df._jdf.queryExecution().logical().toString()
-        # SHUFFLE repartitions only: 'Repartition N, true' (round-robin),
-        # 'RepartitionByExpression' (keyed/salted), 'RebalancePartitions'.
-        # A coalesce prints 'Repartition 1, false' — that is a SHRINK,
-        # not a fan-out, and must still be repartitioned below.
-        if (
-            "RepartitionByExpression" in plan
-            or "RebalancePartitions" in plan
-            or _SHUFFLE_REPARTITION_RE.search(plan)
-        ):
-            return df
+        for line in plan.splitlines():
+            if "Join" in line or "Union" in line:
+                break
+            if "RebalancePartitions" in line:
+                return df
+            m = _SHUFFLE_REPARTITION_RE.search(line)
+            if m and int(m.group(1)) >= target:
+                return df
+            if "RepartitionByExpression" in line:
+                m = _KEYED_REPARTITION_RE.search(line)
+                if m is None or int(m.group(1)) >= target:
+                    return df
     except Exception:
         pass  # plan introspection is best-effort; fall through to probes
     # Default heuristic without converting the plan to an RDD (the old

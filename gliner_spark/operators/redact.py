@@ -60,6 +60,16 @@ def redact_entity_mentions(
     labels = list(labels)
     cfg = dict(threshold=threshold)
     cfg.update(cfg_kwargs)
+    # The char splice is only exact over DISJOINT, start-sorted spans —
+    # what flat-NER greedy resolution guarantees. Nested or multi-label
+    # output would splice backwards and LEAK bytes of an already
+    # "redacted" mention into the output; refuse loudly instead.
+    if not cfg.get("flat_ner", True) or cfg.get("multi_label", False):
+        raise ValueError(
+            "redact_entity_mentions requires disjoint mention spans: "
+            "flat_ner=False / multi_label=True produce nested or "
+            "duplicate spans the char splice cannot redact exactly"
+        )
     has_lang = lang_col is not None and lang_col in df.columns
     cols = [url_col, text_col] + ([lang_col] if has_lang else [])
 

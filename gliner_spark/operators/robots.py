@@ -134,11 +134,14 @@ def robots_filter(
     if precedence not in ("longest_match", "disallow_only"):
         raise ValueError(f"unknown precedence: {precedence!r}")
     # RFC 9309 §2.2.2 match target: path plus query when present. The
-    # fragment is excluded (url_path stops at '?'/'#'; the query regex
-    # stops at '#').
-    path = url_path(F.col(url_col))
+    # fragment is stripped FIRST — a '?' that first appears inside the
+    # fragment ('https://h/a#sec?x') is not a query, and extracting it
+    # as one would let a prefix Allow out-rank a Disallow on a target
+    # the real URL never has (an under-drop, the wrong direction).
+    no_frag = F.regexp_replace(F.col(url_col), "#.*$", "")
+    path = url_path(no_frag)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
     target = F.when(
         query != "", F.concat(path, F.lit("?"), query)
     ).otherwise(path)

@@ -96,3 +96,20 @@ class TestRedactEntityMentions:
             assert got[url] == ("".join(parts), len(ents)), url
             changed += bool(ents)
         assert changed > 10  # non-vacuous: the corpus really has mentions
+
+
+class TestRound5ReviewFixes:
+    def test_nested_span_configs_are_rejected(self, spark):
+        import pytest
+
+        df = _pages(spark, [("d", "acme corp ships")])
+        with pytest.raises(ValueError, match="disjoint"):
+            redact_entity_mentions(
+                df, labels=LABELS, gazetteer=GAZ, scoring="gazetteer",
+                lang_col=None, flat_ner=False,
+            )
+        with pytest.raises(ValueError, match="disjoint"):
+            redact_entity_mentions(
+                df, labels=LABELS, gazetteer=GAZ, scoring="gazetteer",
+                lang_col=None, multi_label=True,
+            )

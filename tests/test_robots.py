@@ -203,3 +203,21 @@ class TestReviewRegressions:
         )
         kept = [r.doc_id for r in robots_filter(pages, rules).collect()]
         assert kept == [2]
+
+
+class TestRound5ReviewFixes:
+    def test_fragment_question_mark_is_not_a_query(self, spark):
+        # 'https://h/a#sec?x' has NO query (the '?' lives in the
+        # fragment); a prefix Allow '/a?x' must NOT out-rank
+        # Disallow '/a' on the true target '/a'
+        pages = spark.createDataFrame(
+            [(1, "https://a.example/a#sec?x"), (2, "https://a.example/a?x")],
+            "doc_id long, url string",
+        )
+        rules = robots_rules_df(
+            spark, {"a.example": "User-agent: *\nDisallow: /a\nAllow: /a?x\n"}
+        )
+        kept = [r.doc_id for r in robots_filter(pages, rules).collect()]
+        # page 1: target '/a' → disallow wins → dropped;
+        # page 2: target '/a?x' → longer allow wins → kept
+        assert kept == [2]
