@@ -221,3 +221,57 @@ class TestRound5ReviewFixes:
         # page 1: target '/a' → disallow wins → dropped;
         # page 2: target '/a?x' → longer allow wins → kept
         assert kept == [2]
+
+
+def _py_robots_decision(rules, target):
+    """Independent pure-python RFC 9309 model: longest match wins,
+    allow wins length ties, no match keeps."""
+    best_len, best_allow = -1, True
+    for rule, prefix in rules:
+        if target.startswith(prefix):
+            L = len(prefix)
+            allow = rule == "allow"
+            if L > best_len or (L == best_len and allow):
+                best_len, best_allow = L, allow
+    return best_allow
+
+
+class TestLongestMatchProperty:
+    def test_random_rule_sets_match_python_model(self, spark):
+        """Hypothesis-style randomized differential: the Spark array-
+        expression verdict equals an independent python longest-match
+        model over random rule sets and paths (one DataFrame round
+        trip for all cases)."""
+        import random
+
+        rng = random.Random(20260818)
+        segs = ["/a", "/b", "/ab", "/a/b", "/a?x", "/abc"]
+        cases = []  # (case_id, host, rules, target_path)
+        for i in range(300):
+            host = f"h{i}.example"
+            n_rules = rng.randrange(1, 6)
+            rules = [
+                (rng.choice(["allow", "disallow"]),
+                 "".join(rng.sample(segs, rng.randrange(1, 3))))
+                for _ in range(n_rules)
+            ]
+            path = "".join(rng.sample(segs, rng.randrange(1, 4)))
+            cases.append((i, host, rules, path))
+        pages = spark.createDataFrame(
+            [(i, f"https://{host}{path}") for i, host, _r, path in cases],
+            "doc_id long, url string",
+        )
+        rules_df = spark.createDataFrame(
+            [
+                (host, rule, prefix)
+                for _i, host, rules, _p in cases
+                for rule, prefix in rules
+            ],
+            "host string, rule string, prefix string",
+        )
+        kept = {
+            r.doc_id for r in robots_filter(pages, rules_df).collect()
+        }
+        for i, _host, rules, path in cases:
+            want = _py_robots_decision(rules, path)
+            assert (i in kept) == want, (i, rules, path)
