@@ -1199,6 +1199,36 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_graph(pages)
 
 
+# Decomposed-form suffixes planted for the NFC gate (combining marks:
+# U+0301 acute, U+030A ring, U+0308 diaeresis) — NFC composes them
+NFC_PLANT_A = " café olé"
+NFC_PLANT_B = " Ångström"
+
+
+def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (functions/unicodefix.py): web text
+    mixes precomposed and combining-mark encodings of identical glyphs,
+    which silently breaks every byte-keyed operator upstream of it
+    (exact-dup md5, shingle joins, gazetteer matching). Decomposed
+    sequences are planted on modulo-selected docs; the gate emits the
+    normalized text plus exact before/after codepoint counts. DuckDB's
+    nfc_normalize implements the same UAX #15 function — hash-exact."""
+    from gliner_spark.functions.unicodefix import nfc_normalize
+
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(NFC_PLANT_A)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(NFC_PLANT_B)).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        nfc_normalize(planted).alias("nfc_text"),
+        F.length(planted).alias("n_chars_before"),
+        F.length(nfc_normalize(planted)).alias("n_chars_after"),
+        (F.length(planted) != F.length(nfc_normalize(planted))).alias("changed"),
+    )
+
+
 LM_VOCAB_K = 16  # of the corpus' 31 distinct words — forces real OOV
 LM_BIGRAM_K = 256  # of ~916 distinct bigrams — forces hit-rate spread
 
@@ -1380,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_windows": q_corpus_chunk_windows,
         "web_anchor_texts": q_web_anchor_texts,
         "crawl_delta": q_crawl_delta,
+        "text_nfc": q_text_nfc,
         # ---- rows-only gates (learned-weight analogs; exact
         # distributed-vs-kernel equality in tests/test_kernel_oracle.py) ----
         "kg_entities_zeroshot": q_kg_entities_zeroshot,
@@ -2473,6 +2504,28 @@ FROM s GROUP BY user_id, session_id
         # LM-fluency oracle: same top-k model (count DESC, gram ASC —
         # deterministic under boundary ties) and the same INT/INT-exact
         # coverage rates
+        # NFC gate: chr() escapes keep the DECOMPOSED planted forms
+        # byte-identical to the Spark literals (a source file round-trip
+        # could silently compose them)
+        "text_nfc": f"""
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' cafe' || chr(769) || ' ole' || chr(769)
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(t) AS nfc_text,
+       CAST(length(t) AS INT) AS n_chars_before,
+       CAST(length(nfc_normalize(t)) AS INT) AS n_chars_after,
+       length(t) != length(nfc_normalize(t)) AS changed
+FROM d
+""",
         "text_lm_fluency": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

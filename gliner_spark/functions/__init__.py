@@ -3,7 +3,9 @@
 Everything here is built from ``pyspark.sql.functions`` primitives —
 JVM-side, whole-stage-codegen-able, no Python UDFs — so filters and
 projections composed from them stay pushdown- and codegen-friendly at
-the 100 TB design point.
+the 100 TB design point. The one exception is ``unicodefix`` (NFC
+normalization has no Spark builtin): an Arrow-batched pandas UDF with
+an is_normalized fast path, documented as such.
 """
 
 from .text import (  # noqa: F401
@@ -21,6 +23,7 @@ from .text import (  # noqa: F401
     simhash_column,
     fingerprint_agg,
 )
+from .unicodefix import nfc_normalize, nfc_normalize_udf  # noqa: F401
 from .vectors import (  # noqa: F401
     dot_product,
     l2_norm,
