@@ -35,12 +35,14 @@ from gliner_spark.functions.text import (
 )
 from gliner_spark.operators.canonicalize import connected_components
 from gliner_spark.operators.dedup import (
+    duplicated_spans,
     embedding_cosine_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     segment_dedup,
     simhash_pairs,
+    substring_dedup,
 )
 from gliner_spark.operators.extract import (
     extract_entities,
@@ -127,6 +129,7 @@ JACCARD_T = 0.5
 # guard); Jaccard is then computed over the capped sets on both sides.
 JACCARD_MAXDF = 2
 SEGMENT_K = 10  # k-word segments for sub-document (C4-style) dedup
+SUBSTRING_K = 12  # sliding-window width for exact substring dedup
 DECONTAM_N = 8  # n-gram width for train/test decontamination
 
 # graph-analytics / corpus-profiling gate constants (shared by both sides)
@@ -890,6 +893,23 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(_docs(spark, sf_dir), k=SEGMENT_K)
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, span form (Lee et al. 2022): maximal
+    word ranges repeated verbatim ANYWHERE in the corpus at ANY
+    alignment — the misaligned boilerplate the disjoint-segment pass
+    structurally misses. Overlapping k-word windows hash to md5,
+    non-first occurrences merge into maximal spans. Exact SQL
+    oracle."""
+    return duplicated_spans(_docs(spark, sf_dir), k=SUBSTRING_K)
+
+
+def q_dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, removal form: splice the duplicated
+    spans out of each doc (keep-first). One row per doc with the
+    cleaned text and dup-word count. Exact SQL oracle."""
+    return substring_dedup(_docs(spark, sf_dir), k=SUBSTRING_K)
+
+
 def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination (GPT-3-style n-gram pass): flag every
     corpus doc sharing an 8-gram with the eval subset (doc_id <
@@ -1380,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_segments": q_dedup_segments,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_substring_clean": q_dedup_substring_clean,
         "dedup_decontaminate": q_dedup_decontaminate,
         "corpus_keep_list": q_corpus_keep_list,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1545,6 +1567,34 @@ dfreq AS (SELECT shingle, count(*) AS dfc FROM sh0 GROUP BY shingle),
 sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dfreq f USING (shingle)
        WHERE f.dfc <= {JACCARD_MAXDF}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+# Shared CTE chain for the two substring-dedup oracles: overlapping
+# k-word windows → md5 keys → non-first occurrences (same packed
+# (doc_id, pos) first-key as the segment oracle) → per-doc interval
+# merge via the running-max-of-ends window trick (window ends are
+# monotone in pos, so "gap to all preceding ends" == "gap to the open
+# span" — the same invariant the Spark-side fold relies on).
+_SUBSTRING_DUPS_CTE = f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, CAST(u.p AS INT) AS pos,
+         md5(array_to_string(ws[u.p + 1 : u.p + {SUBSTRING_K}], ' ')) AS h
+  FROM (SELECT doc_id, ws,
+        unnest([{{'p': p}} for p in range(0, greatest(len(ws) - {SUBSTRING_K - 1}, 0))]) AS u
+        FROM d) q
+),
+keyed AS (SELECT doc_id, pos, h, doc_id * {1 << 20} + pos AS kk FROM sh),
+firsts AS (SELECT h, min(kk) AS fk FROM keyed GROUP BY h HAVING count(*) > 1),
+dups AS (SELECT ky.doc_id, ky.pos FROM keyed ky JOIN firsts f ON ky.h = f.h
+         WHERE ky.kk <> f.fk),
+m AS (SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(max(pos + {SUBSTRING_K}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM dups),
+g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
 """
 
 _JACCARD_PAIRS = f"""
@@ -2217,6 +2267,31 @@ tot AS (SELECT doc_id,
 SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text, t.n_segments,
        CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept
 FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        "dedup_substring_spans": f"""
+WITH {_SUBSTRING_DUPS_CTE.strip()}
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {SUBSTRING_K} AS INT) AS span_end,
+       CAST(max(pos) + {SUBSTRING_K} - min(pos) AS INT) AS span_n_words
+FROM g GROUP BY doc_id, grp
+""",
+        "dedup_substring_clean": f"""
+WITH {_SUBSTRING_DUPS_CTE.strip()},
+sp AS (SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTRING_K} AS e
+       FROM g GROUP BY doc_id, grp),
+w AS (SELECT doc_id, u.i AS i, u.w AS w
+      FROM (SELECT doc_id,
+            unnest([{{'i': i - 1, 'w': ws[i]}} for i in range(1, len(ws) + 1)]) AS u
+            FROM d) q),
+kept AS (SELECT w.doc_id, w.i, w.w FROM w
+         WHERE NOT EXISTS (SELECT 1 FROM sp
+                           WHERE sp.doc_id = w.doc_id AND w.i >= sp.s AND w.i < sp.e)),
+agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id),
+nd AS (SELECT doc_id, CAST(sum(e - s) AS INT) AS n_dup_words FROM sp GROUP BY doc_id)
+SELECT d2.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(string_split(d2.text, ' ')) AS INT) AS n_words,
+       CAST(coalesce(nd.n_dup_words, 0) AS INT) AS n_dup_words
+FROM documents d2 LEFT JOIN agg a USING (doc_id) LEFT JOIN nd USING (doc_id)
 """,
         "dedup_decontaminate": f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -27,6 +27,7 @@ from .corpus import corpus_keep_list
 from .decontaminate import contamination_flags, decontaminate
 from .seqpack import chunk_documents, example_stats, pack_sequences
 from .dedup import (
+    duplicated_spans,
     embedding_cosine_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -34,6 +35,7 @@ from .dedup import (
     segment_dedup,
     simhash_pairs,
     simhash_table,
+    substring_dedup,
 )
 from .evaluation import (
     docred_string_f1,
@@ -92,6 +94,7 @@ __all__ = [
     "robots_filter",
     "robots_rules_df",
     "docred_string_f1",
+    "duplicated_spans",
     "embedding_cosine_pairs",
     "exact_duplicates",
     "extract_entities",
@@ -115,6 +118,7 @@ __all__ = [
     "sample_train_mix",
     "score_triples",
     "segment_dedup",
+    "substring_dedup",
     "sessionize",
     "simhash_pairs",
     "simhash_table",

@@ -429,6 +429,176 @@ def segment_dedup(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+) -> DataFrame:
+    """Exact substring dedup, span detection (the Lee et al. 2022
+    "Deduplicating Training Data" pass): find maximal word ranges that
+    repeat verbatim anywhere in the corpus, at ANY alignment.
+
+    ``segment_dedup`` hashes *disjoint* k-word segments, so a shared
+    sentence that starts mid-segment in one of the two docs is
+    invisible to it. This operator slides an *overlapping* k-word
+    window over every position, flags each window whose content was
+    already seen at a smaller (id, pos) — the global first occurrence
+    survives, exactly segment_dedup's keep-first rule — and merges the
+    flagged windows per doc into maximal spans (touching-or-overlapping
+    intervals coalesce).
+
+    Output: one row per merged span — (id, span_start, span_end,
+    span_n_words), word offsets, end exclusive. Docs shorter than k
+    words emit no windows and no spans.
+
+    Scale shape: windows explode to ~n_words rows keyed by
+    ``md5(window)`` (128-bit keying is the standard at-scale move; both
+    the oracle and this side key identically) → map-side-combined
+    groupBy(h) keeps only hashes with count>1 (the duplicate fraction —
+    tiny next to the corpus) → equi-join back tags non-first
+    occurrences → one groupBy(id) + an expression-level fold does the
+    interval merge (per-doc work is linear in flagged windows; no
+    Window over the corpus). Same min(struct(id,pos)) first-key trick
+    as segment_dedup, so string AND numeric ids both work.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_ws"),
+    )
+    ws = F.col("_ws")
+    npos = F.size(ws) - F.lit(k - 1)
+    # sequence(1, 0) would count DOWN in Spark — guard short docs
+    win = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(0), npos - 1),
+            lambda p: F.md5(F.array_join(F.slice(ws, p + F.lit(1), k), " ")),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    sh = base.select("_id", F.posexplode(win).alias("pos", "h"))
+    firsts = (
+        sh.groupBy("h")
+        .agg(
+            F.min(F.struct("_id", "pos")).alias("fk"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("c") > 1)
+        .select("h", "fk")
+    )
+    dups = (
+        sh.join(firsts, "h")
+        .where(
+            ~(
+                (F.col("_id") == F.col("fk._id"))
+                & (F.col("pos") == F.col("fk.pos"))
+            )
+        )
+        .select("_id", "pos")
+    )
+    # interval merge as a fold over the sorted positions: window ends
+    # p+k are monotone in p, so "touches the open span" is just
+    # p <= last.e, and merging only ever extends the last end
+    merged = dups.groupBy("_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("_ps")
+    )
+    empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    spans = merged.select(
+        "_id",
+        F.explode(
+            F.aggregate(
+                F.col("_ps"),
+                empty_spans,
+                lambda acc, p: F.when(
+                    (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                (p + F.lit(k)).cast("int").alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                p.cast("int").alias("s"),
+                                (p + F.lit(k)).cast("int").alias("e"),
+                            )
+                        ),
+                    )
+                ),
+            )
+        ).alias("sp"),
+    )
+    return spans.select(
+        F.col("_id").alias(id_col),
+        F.col("sp.s").alias("span_start"),
+        F.col("sp.e").alias("span_end"),
+        (F.col("sp.e") - F.col("sp.s")).cast("int").alias("span_n_words"),
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+) -> DataFrame:
+    """Exact substring dedup, removal form: splice the
+    ``duplicated_spans`` ranges out of each doc.
+
+    Output: one row per input doc — (id, clean_text, n_words,
+    n_dup_words). clean_text re-joins the surviving words in order (''
+    when the whole doc was seen before); first occurrences keep their
+    text byte-for-byte (modulo the single-space re-join both this and
+    segment_dedup use).
+
+    Scale shape: the span table is the *duplicate* fraction of the
+    corpus, so the join back to docs is small-side (broadcastable);
+    the splice itself is a pure array expression — no shuffle beyond
+    the one equi-join, and the corpus text never crosses it twice.
+    """
+    empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    sp = (
+        duplicated_spans(df, id_col=id_col, text_col=text_col, k=k)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("_sp"),
+            F.sum("span_n_words").alias("_nd"),
+        )
+    )
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    )
+    joined = base.join(sp, id_col, "left").select(
+        id_col,
+        "_ws",
+        F.coalesce(F.col("_sp"), empty_spans).alias("_sp"),
+        F.coalesce(F.col("_nd"), F.lit(0)).cast("int").alias("n_dup_words"),
+    )
+    kept = F.filter(
+        "_ws",
+        lambda w, i: ~F.exists(
+            F.col("_sp"), lambda q: (i >= q["s"]) & (i < q["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_ws").cast("int").alias("n_words"),
+        F.col("n_dup_words"),
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.45,

@@ -292,3 +292,123 @@ class TestSegmentDedup:
         assert out.count() == docs.count()
         dropped = out.where("n_kept < n_segments").count()
         assert dropped > 0  # the corpus genuinely contains repeated segments
+
+
+class TestSubstringDedup:
+    """Exact substring dedup (Lee et al. 2022 style): OVERLAPPING
+    k-word windows, so repeated runs are caught at any alignment;
+    non-first occurrences merge into maximal spans."""
+
+    def test_misaligned_boilerplate_caught(self, spark):
+        """The motivating case: a shared k-word run that straddles the
+        disjoint-segment grid is invisible to segment_dedup but flagged
+        here."""
+        from gliner_spark.operators.dedup import duplicated_spans, segment_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "b1 b2 b3 tail1 tail2"),   # boilerplate at pos 0
+                (2, "pre b1 b2 b3 post"),      # same run at pos 1 (misaligned)
+            ],
+            "doc_id long, text string",
+        )
+        seg = {r.doc_id: r for r in segment_dedup(df, k=3).collect()}
+        assert seg[2].n_kept == seg[2].n_segments  # segment pass misses it
+        spans = duplicated_spans(df, k=3).collect()
+        assert len(spans) == 1
+        (row,) = spans
+        assert (row.doc_id, row.span_start, row.span_end, row.span_n_words) == (2, 1, 4, 3)
+
+    def test_overlapping_windows_merge_to_maximal_span(self, spark):
+        from gliner_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame(
+            [
+                (1, "s1 s2 s3 s4 s5"),
+                (2, "pre s1 s2 s3 s4 s5 post"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = duplicated_spans(df, k=3).collect()
+        assert len(spans) == 1  # three overlapping hits, ONE maximal span
+        (row,) = spans
+        assert (row.doc_id, row.span_start, row.span_end, row.span_n_words) == (2, 1, 6, 5)
+
+    def test_within_doc_repeat_and_clean(self, spark):
+        from gliner_spark.operators.dedup import duplicated_spans, substring_dedup
+
+        df = spark.createDataFrame(
+            [(7, "a b c Z a b c")], "doc_id long, text string"
+        )
+        spans = duplicated_spans(df, k=3).collect()
+        assert [(r.span_start, r.span_end) for r in spans] == [(4, 7)]
+        row = substring_dedup(df, k=3).first()
+        assert row.clean_text == "a b c Z"
+        assert row.n_words == 7 and row.n_dup_words == 3
+
+    def test_touching_spans_coalesce(self, spark):
+        """Two distinct duplicated runs that ABUT in a later doc form
+        one contiguous duplicated region — a single maximal span."""
+        from gliner_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame(
+            [
+                (1, "a1 a2 a3"),
+                (2, "b1 b2 b3"),
+                (3, "a1 a2 a3 b1 b2 b3"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = [r for r in duplicated_spans(df, k=3).collect() if r.doc_id == 3]
+        assert [(r.span_start, r.span_end) for r in spans] == [(0, 6)]
+
+    def test_short_and_unique_docs_untouched(self, spark):
+        from gliner_spark.operators.dedup import duplicated_spans, substring_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "too short"),                       # < k words: no windows
+                (2, "every word here is globally unique today"),
+            ],
+            "doc_id long, text string",
+        )
+        assert duplicated_spans(df, k=3).count() == 0
+        out = {r.doc_id: r for r in substring_dedup(df, k=3).collect()}
+        assert out[1].clean_text == "too short" and out[1].n_dup_words == 0
+        assert out[2].clean_text == "every word here is globally unique today"
+
+    def test_full_duplicate_doc_emptied(self, spark):
+        from gliner_spark.operators.dedup import substring_dedup
+
+        text = "w1 w2 w3 w4 w5 w6 w7"
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in substring_dedup(df, k=3).collect()}
+        assert out[1].clean_text == text            # first occurrence intact
+        assert out[2].clean_text == ""              # later copy fully spliced
+        assert out[2].n_dup_words == out[2].n_words == 7
+
+    def test_string_ids(self, spark):
+        from gliner_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame(
+            [
+                ("http://a.example/1", "c1 c2 c3 x"),
+                ("http://b.example/2", "y c1 c2 c3"),
+            ],
+            "url string, text string",
+        )
+        spans = duplicated_spans(df, k=3, id_col="url").collect()
+        assert [(r.url, r.span_start) for r in spans] == [("http://b.example/2", 1)]
+
+    def test_corpus_has_misaligned_dups(self, spark):
+        """The synthetic corpus genuinely contains overlapping-window
+        duplicates, and every doc keeps a row in the removal form."""
+        from gliner_spark.operators.dedup import duplicated_spans, substring_dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert duplicated_spans(docs, k=12).count() > 0
+        out = substring_dedup(docs, k=12)
+        assert out.count() == docs.count()
+        assert out.where("n_dup_words > 0").count() > 0
