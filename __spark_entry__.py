@@ -783,6 +783,18 @@ def q_kg_canonical_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal dedup step: near-dup components (the kg_canonical_cc
+    graph) → one survivor per cluster, keep-the-longest with min-id
+    tie-break. Filtering is_survivor IS the deduplicated corpus.
+    Exact SQL oracle."""
+    from gliner_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    comps = q_kg_canonical_cc(spark, sf_dir).withColumnRenamed("doc_id", "node")
+    return resolve_duplicate_clusters(docs, comps, prefer_col="n_chars")
+
+
 def q_kg_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-based micro P/R/F1 of the full gazetteer run vs a gold
     gazetteer (SURVEY.md §2.6 A2-A4 as equi-join + aggregate)."""
@@ -1402,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_segments": q_dedup_segments,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_substring_clean": q_dedup_substring_clean,
+        "dedup_resolve": q_dedup_resolve,
         "dedup_decontaminate": q_dedup_decontaminate,
         "corpus_keep_list": q_corpus_keep_list,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1595,6 +1608,28 @@ m AS (SELECT doc_id, pos,
              THEN 1 ELSE 0 END AS brk
       FROM dups),
 g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
+"""
+
+# Near-dup component chain shared by the CC and cluster-resolution
+# oracles: exact-dup ∪ jaccard≥T edges, symmetrized, then min-label
+# reachability seeded from EVERY doc (singletons label themselves).
+_CC_REACH_CTE = f"""
+dupe AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+e0 AS (
+  SELECT u, v FROM dupe
+  UNION
+  SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= {JACCARD_T}
+),
+edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+)
 """
 
 _JACCARD_PAIRS = f"""
@@ -2103,23 +2138,20 @@ JOIN ec cb ON cb.entity = p.entity_b, nd
         "kg_canonical_cc": f"""
 WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip(',')},
 {_JACCARD_PAIRS.strip().lstrip()},
-dupe AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM documents a JOIN documents b
-    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
-),
-e0 AS (
-  SELECT u, v FROM dupe
-  UNION
-  SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= {JACCARD_T}
-),
-edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
-reach(node, comp) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
-)
+{_CC_REACH_CTE.strip()}
 SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
+""",
+        "dedup_resolve": f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip(',')},
+{_JACCARD_PAIRS.strip().lstrip()},
+{_CC_REACH_CTE.strip()},
+comp AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+j AS (SELECT c.doc_id, c.cluster_id, d.n_chars FROM comp c JOIN documents d USING (doc_id)),
+r AS (SELECT doc_id, cluster_id, n_chars,
+        row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      FROM j)
+SELECT doc_id, cluster_id, cluster_size, rn = 1 AS is_survivor FROM r
 """,
         "kg_eval_prf": f"""
 WITH {_TOKS_CTE.strip().rstrip(',')},

@@ -32,6 +32,7 @@ from .dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    resolve_duplicate_clusters,
     segment_dedup,
     simhash_pairs,
     simhash_table,
@@ -115,6 +116,7 @@ __all__ = [
     "per_label_prf",
     "prompt_mode_relations",
     "relex_micro_prf",
+    "resolve_duplicate_clusters",
     "sample_train_mix",
     "score_triples",
     "segment_dedup",

@@ -599,6 +599,63 @@ def substring_dedup(
     )
 
 
+def resolve_duplicate_clusters(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    prefer_col: str = "n_chars",
+) -> DataFrame:
+    """Terminal step of the dedup ladder: turn near-dup components
+    into a per-doc keep/drop verdict.
+
+    ``assignments`` is ``connected_components`` output (node,
+    component) over the near-dup edge set; docs absent from it are
+    their own singleton cluster. Within each cluster exactly one doc
+    survives: the one with the largest ``prefer_col`` (keep the
+    longest/highest-quality copy — the standard web-pipeline choice),
+    ties broken by the smallest id. ``prefer_col`` must be numeric
+    (its negation is the min-struct sort key).
+
+    Output: one row per input doc — (id, cluster_id, cluster_size,
+    is_survivor). Filtering ``is_survivor`` yields the deduplicated
+    corpus; ¬is_survivor rows carry their cluster's id for lineage.
+
+    Scale shape: one left equi-join against the (tiny, duplicate-
+    fraction-sized) assignment table, one map-side-combined
+    groupBy(cluster) min-struct + count, one join back keyed by
+    cluster id. The corpus text never moves — only (id, prefer, cluster)
+    triples cross the shuffles.
+    """
+    a = (
+        docs.select(F.col(id_col), F.col(prefer_col))
+        .join(
+            assignments.withColumnRenamed("node", id_col),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            prefer_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    best = a.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col(prefer_col)).alias("np"),
+                F.col(id_col).alias("i"),
+            )
+        ).alias("bk"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return a.join(best, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("bk.i")).alias("is_survivor"),
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.45,

@@ -412,3 +412,74 @@ class TestSubstringDedup:
         out = substring_dedup(docs, k=12)
         assert out.count() == docs.count()
         assert out.where("n_dup_words > 0").count() > 0
+
+
+class TestResolveDuplicateClusters:
+    """Terminal dedup step: components → one survivor per cluster
+    (largest prefer_col, min-id tie-break)."""
+
+    def test_survivor_selection_and_sizes(self, spark):
+        from gliner_spark.operators.canonicalize import connected_components
+        from gliner_spark.operators.dedup import resolve_duplicate_clusters
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 5)],
+            "doc_id long, n_chars long",
+        )
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        comps = connected_components(edges)
+        out = {
+            r.doc_id: r
+            for r in resolve_duplicate_clusters(docs, comps).collect()
+        }
+        # cluster {1,2,3}: 2 and 3 tie on n_chars=30 → min id 2 wins
+        assert [out[i].cluster_id for i in (1, 2, 3)] == [1, 1, 1]
+        assert [out[i].is_survivor for i in (1, 2, 3)] == [False, True, False]
+        assert out[1].cluster_size == 3
+        # doc 4 never appears in the edge set → its own singleton
+        assert out[4].cluster_id == 4 and out[4].is_survivor
+        assert out[4].cluster_size == 1
+
+    def test_exactly_one_survivor_per_cluster(self, spark):
+        from gliner_spark.operators.canonicalize import connected_components
+        from gliner_spark.operators.dedup import resolve_duplicate_clusters
+
+        docs = spark.createDataFrame(
+            [(i, (i * 7) % 13) for i in range(20)],
+            "doc_id long, n_chars long",
+        )
+        edges = spark.createDataFrame(
+            [(0, 5), (5, 10), (1, 2), (7, 8), (8, 9), (9, 7)],
+            "src long, dst long",
+        )
+        out = resolve_duplicate_clusters(docs, connected_components(edges))
+        per_cluster = (
+            out.groupBy("cluster_id")
+            .agg(
+                F.sum(F.col("is_survivor").cast("int")).alias("n_surv"),
+                F.count(F.lit(1)).alias("n"),
+                F.max("cluster_size").alias("sz"),
+            )
+            .collect()
+        )
+        assert all(r.n_surv == 1 for r in per_cluster)
+        assert all(r.n == r.sz for r in per_cluster)
+        assert out.count() == 20
+
+    def test_corpus_gate_drops_near_dups(self, spark):
+        """The sf0.001 corpus has real near-dup clusters: the verdict
+        drops at least one doc and keeps exactly one per cluster."""
+        import __spark_entry__ as e
+
+        out = e.queries()["dedup_resolve"](spark, "/root/testdata/sf0.001")
+        assert out.count() == 500
+        assert out.where("NOT is_survivor").count() > 0
+        bad = (
+            out.groupBy("cluster_id")
+            .agg(F.sum(F.col("is_survivor").cast("int")).alias("n_surv"))
+            .where("n_surv != 1")
+            .count()
+        )
+        assert bad == 0
