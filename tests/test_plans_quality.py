@@ -311,3 +311,29 @@ class TestDeriveTextFromHtml:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "html" not in [f.name for f in df.schema.fields]
+
+
+class TestSubstringAndResolvePlans:
+    """Round-5 closing operators keep scale-safe shapes."""
+
+    def test_substring_dedup_no_window_no_cartesian(self, spark):
+        """The interval merge must be the per-doc expression fold, not
+        a corpus-wide Window, and every join an equi-join."""
+        import __spark_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        for name in ("dedup_substring_spans", "dedup_substring_clean"):
+            plan = formatted_plan(E.queries()[name](spark, sf))
+            assert "CartesianProduct" not in plan, name
+            assert "Window" not in plan, name
+
+    def test_resolve_no_cartesian(self, spark):
+        """Cluster resolution is joins + one min-struct aggregate —
+        never a cartesian, never a corpus-wide Window (the survivor
+        pick is a partial aggregate, not a row_number sort)."""
+        import __spark_entry__ as E
+
+        plan = formatted_plan(
+            E.queries()["dedup_resolve"](spark, "/root/testdata/sf0.001")
+        )
+        assert "CartesianProduct" not in plan
