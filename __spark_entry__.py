@@ -761,26 +761,31 @@ def q_kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_canonical_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over the near-dup graph
-    (exact-dup edges ∪ jaccard≥T edges); every doc gets a component."""
-    docs = _docs(spark, sf_dir)
-    exact = exact_duplicates(docs)
-    dup_edges = exact.where("is_duplicate").select(
-        F.col("canonical_id").alias("src"), F.col("doc_id").alias("dst")
-    )
-    jac_edges = ngram_jaccard_pairs(docs, threshold=JACCARD_T).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    edges = dup_edges.unionByName(jac_edges)
-    comps = connected_components(edges)
-    comps = F.broadcast(comps)
-    return (
-        docs.select("doc_id")
-        .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    (exact-dup edges ∪ jaccard≥T edges); every doc gets a component.
+    Shared (persist-once) with dedup_resolve, which consumes the same
+    component table — the extract-once/fan-out rule."""
+
+    def build() -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        exact = exact_duplicates(docs)
+        dup_edges = exact.where("is_duplicate").select(
+            F.col("canonical_id").alias("src"), F.col("doc_id").alias("dst")
         )
-    )
+        jac_edges = ngram_jaccard_pairs(docs, threshold=JACCARD_T).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        edges = dup_edges.unionByName(jac_edges)
+        comps = F.broadcast(connected_components(edges))
+        return (
+            docs.select("doc_id")
+            .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            )
+        )
+
+    return _shared(spark, sf_dir, "canonical_cc", build)
 
 
 def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
