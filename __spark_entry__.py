@@ -1257,12 +1257,22 @@ def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 4 == 0, F.lit(NFC_PLANT_A)).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 9 == 0, F.lit(NFC_PLANT_B)).otherwise(F.lit("")),
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        nfc_normalize(planted).alias("nfc_text"),
-        F.length(planted).alias("n_chars_before"),
-        F.length(nfc_normalize(planted)).alias("n_chars_after"),
-        (F.length(planted) != F.length(nfc_normalize(planted))).alias("changed"),
+    # staged select: the UDF output is a consumed-thrice alias, which
+    # CollapseProject refuses to inline (non-cheap), so the text crosses
+    # the Arrow boundary exactly ONCE. `changed` compares the strings,
+    # not the lengths — singleton compositions (Å U+212B → U+00C5) are
+    # length-preserving and a length test would silently miss them.
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", planted.alias("_t"))
+        .select("doc_id", "_t", nfc_normalize(F.col("_t")).alias("nfc_text"))
+        .select(
+            "doc_id",
+            "nfc_text",
+            F.length("_t").alias("n_chars_before"),
+            F.length("nfc_text").alias("n_chars_after"),
+            (F.col("nfc_text") != F.col("_t")).alias("changed"),
+        )
     )
 
 
@@ -2613,9 +2623,6 @@ FROM s GROUP BY user_id, session_id
         "web_html_extract": _web_html_extract_sql(),
         "web_link_graph": _web_link_graph_sql(),
         "text_repetition": _text_repetition_sql(),
-        # LM-fluency oracle: same top-k model (count DESC, gram ASC —
-        # deterministic under boundary ties) and the same INT/INT-exact
-        # coverage rates
         # NFC gate: chr() escapes keep the DECOMPOSED planted forms
         # byte-identical to the Spark literals (a source file round-trip
         # could silently compose them)
@@ -2635,9 +2642,12 @@ SELECT doc_id,
        nfc_normalize(t) AS nfc_text,
        CAST(length(t) AS INT) AS n_chars_before,
        CAST(length(nfc_normalize(t)) AS INT) AS n_chars_after,
-       length(t) != length(nfc_normalize(t)) AS changed
+       nfc_normalize(t) != t AS changed
 FROM d
 """,
+        # LM-fluency oracle: same top-k model (count DESC, gram ASC —
+        # deterministic under boundary ties) and the same INT/INT-exact
+        # coverage rates
         "text_lm_fluency": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

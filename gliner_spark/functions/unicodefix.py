@@ -22,14 +22,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 
+_UDF_CACHE: list = []
+
 
 def nfc_normalize_udf():
     """Factory returning the Arrow-batched NFC normalizer UDF.
 
     A factory (not a module-level ``pandas_udf``) so importing this
     module never touches Spark session machinery — the same pattern as
-    the IVF cell-assignment UDF.
+    the IVF cell-assignment UDF. The built UDF is memoized: repeated
+    ``nfc_normalize(col)`` calls in one plan share a single function
+    object, so Catalyst's PythonUDF expression equality can dedup them
+    instead of shipping the column through Arrow once per call site.
     """
+    if _UDF_CACHE:
+        return _UDF_CACHE[0]
     import unicodedata
 
     import pandas as pd
@@ -46,7 +53,8 @@ def nfc_normalize_udf():
         return s.map(one)
 
     norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    return pandas_udf(norm, "string")
+    _UDF_CACHE.append(pandas_udf(norm, "string"))
+    return _UDF_CACHE[0]
 
 
 def nfc_normalize(text: Column) -> Column:

@@ -453,14 +453,22 @@ def duplicated_spans(
     words emit no windows and no spans.
 
     Scale shape: windows explode to ~n_words rows keyed by
-    ``md5(window)`` (128-bit keying is the standard at-scale move; both
-    the oracle and this side key identically) → map-side-combined
-    groupBy(h) keeps only hashes with count>1 (the duplicate fraction —
-    tiny next to the corpus) → equi-join back tags non-first
-    occurrences → one groupBy(id) + an expression-level fold does the
-    interval merge (per-doc work is linear in flagged windows; no
-    Window over the corpus). Same min(struct(id,pos)) first-key trick
-    as segment_dedup, so string AND numeric ids both work.
+    ``unhex(md5(window))`` (128-bit keying is the standard at-scale
+    move; 16-byte BINARY, not the 32-char hex string — the key
+    dominates the one corpus-sized shuffle's volume) →
+    map-side-combined groupBy(h) keeps only hashes with count>1 (the
+    duplicate fraction — tiny next to the corpus) → equi-join back tags
+    non-first occurrences (AQE broadcasts the dup-hash side when it
+    fits; the join stays skew-safe when boilerplate makes it large) →
+    one groupBy(id) + a LINEAR index scan does the interval merge:
+    window ends p+k are monotone in sorted p, so position i opens a new
+    span iff ``ps[i] > ps[i-1] + k`` — break indices via one
+    filter-over-sequence pass, span bounds via one transform over the
+    breaks, every array access O(1). (A fold that rebuilds the
+    accumulator array would be O(spans·positions) per doc and turn a
+    boilerplate-riddled 100k-word page into a single-task straggler.)
+    Same min(struct(id,pos)) first-key trick as segment_dedup, so
+    string AND numeric ids both work. No Window over the corpus.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -473,9 +481,11 @@ def duplicated_spans(
         npos >= 1,
         F.transform(
             F.sequence(F.lit(0), npos - 1),
-            lambda p: F.md5(F.array_join(F.slice(ws, p + F.lit(1), k), " ")),
+            lambda p: F.unhex(
+                F.md5(F.array_join(F.slice(ws, p + F.lit(1), k), " "))
+            ),
         ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    ).otherwise(F.expr("CAST(array() AS array<binary>)"))
     sh = base.select("_id", F.posexplode(win).alias("pos", "h"))
     firsts = (
         sh.groupBy("h")
@@ -496,44 +506,41 @@ def duplicated_spans(
         )
         .select("_id", "pos")
     )
-    # interval merge as a fold over the sorted positions: window ends
-    # p+k are monotone in p, so "touches the open span" is just
-    # p <= last.e, and merging only ever extends the last end
+    # linear interval merge (see docstring). Staged select so `_bs` is
+    # a materialized attribute — inlining it into the span transform
+    # would re-evaluate the whole break scan per span.
     merged = dups.groupBy("_id").agg(
         F.array_sort(F.collect_list("pos")).alias("_ps")
     )
-    empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
-    spans = merged.select(
-        "_id",
-        F.explode(
-            F.aggregate(
-                F.col("_ps"),
-                empty_spans,
-                lambda acc, p: F.when(
-                    (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(
-                            F.struct(
-                                F.element_at(acc, -1)["s"].alias("s"),
-                                (p + F.lit(k)).cast("int").alias("e"),
-                            )
-                        ),
-                    ),
-                ).otherwise(
-                    F.concat(
-                        acc,
-                        F.array(
-                            F.struct(
-                                p.cast("int").alias("s"),
-                                (p + F.lit(k)).cast("int").alias("e"),
-                            )
-                        ),
-                    )
-                ),
-            )
-        ).alias("sp"),
+    ps = F.col("_ps")
+    breaks = F.filter(
+        F.sequence(F.lit(1), F.size(ps)),
+        # sequential whens: the i==1 branch must not evaluate
+        # element_at(ps, 0), which throws
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(ps, i) > F.element_at(ps, i - 1) + F.lit(k)
+        ),
     )
+    staged = merged.select("_id", "_ps", breaks.alias("_bs"))
+    ps2, bs = F.col("_ps"), F.col("_bs")
+    spans_arr = F.transform(
+        bs,
+        # group j (0-based) runs from 1-based ps index bs[j] to
+        # bs[j+1]-1 (or the last position for the final group)
+        lambda b, j: F.struct(
+            F.element_at(ps2, b).cast("int").alias("s"),
+            (
+                F.when(
+                    j + 2 <= F.size(bs),
+                    F.element_at(ps2, F.element_at(bs, j + 2) - 1),
+                ).otherwise(F.element_at(ps2, -1))
+                + F.lit(k)
+            )
+            .cast("int")
+            .alias("e"),
+        ),
+    )
+    spans = staged.select("_id", F.explode(spans_arr).alias("sp"))
     return spans.select(
         F.col("_id").alias(id_col),
         F.col("sp.s").alias("span_start"),
@@ -593,7 +600,9 @@ def substring_dedup(
     )
     return joined.select(
         F.col(id_col),
-        F.array_join(kept, " ").alias("clean_text"),
+        # null text propagates NULL through split/filter/array_join —
+        # coalesce to '' like segment_dedup (and the gate oracle) does
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("clean_text"),
         F.size("_ws").cast("int").alias("n_words"),
         F.col("n_dup_words"),
     )
@@ -614,7 +623,10 @@ def resolve_duplicate_clusters(
     survives: the one with the largest ``prefer_col`` (keep the
     longest/highest-quality copy — the standard web-pipeline choice),
     ties broken by the smallest id. ``prefer_col`` must be numeric
-    (its negation is the min-struct sort key).
+    (its negation is the min-struct sort key); NULL prefer values LOSE
+    (sort last, SQL ``DESC NULLS LAST``) — without the sentinel a
+    null field would sort FIRST in Spark's struct ordering and a
+    null-prefer doc would beat every real copy.
 
     Output: one row per input doc — (id, cluster_id, cluster_size,
     is_survivor). Filtering ``is_survivor`` yields the deduplicated
@@ -642,7 +654,9 @@ def resolve_duplicate_clusters(
     best = a.groupBy("cluster_id").agg(
         F.min(
             F.struct(
-                (-F.col(prefer_col)).alias("np"),
+                F.coalesce(
+                    (-F.col(prefer_col)).cast("double"), F.lit(float("inf"))
+                ).alias("np"),
                 F.col(id_col).alias("i"),
             )
         ).alias("bk"),

@@ -413,6 +413,44 @@ class TestSubstringDedup:
         assert out.count() == docs.count()
         assert out.where("n_dup_words > 0").count() > 0
 
+    def test_null_text_cleans_to_empty(self, spark):
+        """Real crawl tables carry null text; it must come back as
+        clean_text='' (the segment_dedup/oracle convention), never a
+        NULL row."""
+        from gliner_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, None)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in substring_dedup(df, k=3).collect()}
+        assert got[2].clean_text == ""
+        assert got[2].n_dup_words == 0
+        assert got[1].clean_text == "a b c d"
+
+    def test_many_alternating_spans_merge_linearly(self, spark):
+        """Stress the linear interval merge: a doc where dup runs and
+        unique gaps alternate hundreds of times must produce exactly
+        one span per run with the right bounds (the shape that made
+        the old accumulator-rebuilding fold quadratic per doc)."""
+        from gliner_spark.operators.dedup import duplicated_spans
+
+        k, runs = 3, 300
+        boiler = [f"b{i}_{j}" for i in range(runs) for j in range(k)]
+        words, expected = [], []
+        for i in range(runs):
+            words.extend([f"u{i}_0", f"u{i}_1"])  # unique gap
+            expected.append((len(words), len(words) + k))
+            words.extend(boiler[i * k : (i + 1) * k])  # dup run i
+        df = spark.createDataFrame(
+            [(1, " ".join(boiler)), (2, " ".join(words))],
+            "doc_id long, text string",
+        )
+        spans = sorted(
+            (r.span_start, r.span_end)
+            for r in duplicated_spans(df, k=k).where("doc_id = 2").collect()
+        )
+        assert spans == expected
+
 
 class TestResolveDuplicateClusters:
     """Terminal dedup step: components → one survivor per cluster
@@ -441,6 +479,29 @@ class TestResolveDuplicateClusters:
         # doc 4 never appears in the edge set → its own singleton
         assert out[4].cluster_id == 4 and out[4].is_survivor
         assert out[4].cluster_size == 1
+
+    def test_null_prefer_loses(self, spark):
+        """A doc with NULL prefer_col must NOT win its cluster: Spark's
+        struct ordering sorts a null field FIRST, so without the
+        NULLS-LAST sentinel the null-prefer doc would beat a 10k-char
+        copy (the inverse of keep-the-longest, and the opposite of the
+        oracle's ORDER BY ... DESC which puts NULLs last)."""
+        from gliner_spark.operators.canonicalize import connected_components
+        from gliner_spark.operators.dedup import resolve_duplicate_clusters
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, 10_000), (3, None), (4, None)],
+            "doc_id long, n_chars long",
+        )
+        comps = connected_components(
+            spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+        )
+        out = {
+            r.doc_id: r.is_survivor
+            for r in resolve_duplicate_clusters(docs, comps).collect()
+        }
+        assert out == {1: False, 2: True, 3: True, 4: False}
+        # {3,4}: both null → tie falls through to min id (3)
 
     def test_exactly_one_survivor_per_cluster(self, spark):
         from gliner_spark.operators.canonicalize import connected_components

@@ -51,3 +51,29 @@ class TestNfcNormalize:
             "doc_id", nfc_normalize(F.col("text")).alias("text")
         )
         assert exact_duplicates(normed).where("is_duplicate").count() == 1
+
+    def test_length_preserving_change_detected(self, spark):
+        """Singleton canonical compositions (U+212B ANGSTROM SIGN →
+        U+00C5, U+2126 OHM SIGN → U+03A9) rewrite the string WITHOUT
+        changing its codepoint count — a `changed` flag computed from
+        lengths silently misses them; the gate compares strings."""
+        row = (
+            _df(spark, [(1, "1 \u212b and 50 \u2126")])
+            .select(
+                F.col("text").alias("t"),
+                nfc_normalize(F.col("text")).alias("nfc"),
+            )
+            .select(
+                (F.col("nfc") != F.col("t")).alias("changed"),
+                (F.length("nfc") != F.length("t")).alias("len_differs"),
+            )
+            .first()
+        )
+        assert row.changed and not row.len_differs
+
+    def test_repeated_calls_share_one_udf(self):
+        """nfc_normalize memoizes its pandas UDF so multiple call sites
+        in one plan are expression-equal (one Arrow pass, not N)."""
+        from gliner_spark.functions.unicodefix import nfc_normalize_udf
+
+        assert nfc_normalize_udf() is nfc_normalize_udf()
