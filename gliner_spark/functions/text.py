@@ -180,6 +180,42 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit hashes (array<long>) —
+    the allocation-free sibling of :func:`shingles` for callers that
+    only ever JOIN or COUNT shingles and never read the gram text
+    (jaccard blocking, decontamination probes).
+
+    Same shifted-zip construction, but words hash to longs first and
+    each zip step combines hashes with a native ``xxhash64(a, b)``
+    instead of allocating an intermediate gram string. Building string
+    grams costs (n−1) string allocations per position — measured at
+    320k docs that garbage is what caps multi-core scaling of the
+    shingle explode (see ``duplicated_spans``); the hashed form
+    allocates only the long arrays. Hash equality stands in for gram
+    equality: a 64-bit collision adds one phantom shared shingle to
+    one doc pair (P ≈ pairs/2^64) — far below any jaccard threshold's
+    resolution, and the same contract ``ngram_jaccard_pairs`` already
+    accepted by joining on ``xxhash64(shingle)``.
+
+    Null-padding note: the shifted side runs out before the base side;
+    ``xxhash64`` skips null inputs (vs concat_ws skipping the null
+    string), so tail entries hold partial-gram hashes exactly like the
+    string form's partial grams — both are cut by the same slice.
+    """
+    toks = word_tokens(text)
+    wh = F.transform(toks, lambda w: F.xxhash64(w))
+    grams = wh
+    for k in range(1, n):
+        shifted = F.slice(wh, k + 1, F.greatest(F.size(wh) - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.xxhash64(a, b))
+    grams = F.when(
+        F.size(toks) >= F.lit(n),
+        F.slice(grams, 1, F.size(toks) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(grams)
+
+
 def _hex_digit(ch: Column) -> Column:
     """hex char → 0..15 via position lookup (portable: same construct
     exists in every SQL dialect, unlike conv())."""

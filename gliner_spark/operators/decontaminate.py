@@ -12,15 +12,22 @@ thousands of docs) — its distinct n-gram set is built once and rides a
 BROADCAST semi-/left-join, so the corpus never shuffles: scan → explode
 → broadcast hash join → groupBy(doc) count (map-side combined). The
 corpus-side explode is the only row multiplication and stays inside one
-stage. No UDFs; md5-free string equality; results engine-reproducible
-(int counts only).
+stage. No UDFs; results engine-reproducible (int counts only).
+
+Grams travel as 64-bit hashes (``shingle_hashes``), never as built-up
+strings: the gram text is never output, building it allocates
+(n−1) strings per corpus position (the memory-bandwidth wall measured
+in BENCH.md's substring-scaling section), and the broadcast eval set
+shrinks to 8 bytes per gram. A hash collision flags one innocent doc
+(P ≈ corpus_grams·eval_grams/2^64) — the over-drop direction, which is
+the safe failure mode for decontamination.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import shingles
+from ..functions.text import shingle_hashes
 
 
 def contamination_flags(
@@ -37,12 +44,12 @@ def contamination_flags(
     ``contaminated`` = n_hits > 0. One output row per corpus doc.
     """
     eval_grams = (
-        eval_df.select(F.explode(shingles(F.col(eval_text_col), n)).alias("gram"))
+        eval_df.select(F.explode(shingle_hashes(F.col(eval_text_col), n)).alias("gram"))
         .distinct()
     )
     doc_grams = corpus.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("gram"),
     )
     hits = (
         doc_grams.join(F.broadcast(eval_grams), "gram")
@@ -72,13 +79,13 @@ def decontaminate(
     columns). The flag pass runs as a broadcast left-anti join — the
     corpus is scanned once and never shuffled."""
     eval_grams = (
-        eval_df.select(F.explode(shingles(F.col(eval_text_col), n)).alias("gram"))
+        eval_df.select(F.explode(shingle_hashes(F.col(eval_text_col), n)).alias("gram"))
         .distinct()
     )
     dirty = (
         corpus.select(
             F.col(id_col),
-            F.explode(shingles(F.col(text_col), n)).alias("gram"),
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("gram"),
         )
         .join(F.broadcast(eval_grams), "gram")
         .select(id_col)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, simhash_column
+from ..functions.text import shingle_hashes, shingles, simhash_column
 from ..functions.vectors import cosine_similarity
 
 
@@ -80,6 +80,29 @@ def _shingle_rows(
     return rows
 
 
+def _shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """(id, shingle) rows with the shingle as its 64-bit hash — the
+    allocation-free sibling of :func:`_shingle_rows` for callers that
+    never read the gram text (see ``functions.text.shingle_hashes``).
+    Same stop-shingle cap, counted on the hash (equal counts modulo
+    the same collision odds the hashed join already accepts)."""
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_df is not None:
+        stop = (
+            rows.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > F.lit(max_df))
+            .select("shingle")
+        )
+        rows = rows.join(F.broadcast(stop), "shingle", "left_anti")
+    return rows
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -103,7 +126,18 @@ def ngram_jaccard_pairs(
     materializing the ~50× row-multiplied shingle table, and at corpus
     scale that table could never be cached anyway.
     """
-    sh = _shingle_rows(df, id_col, text_col, n, max_df)
+    # Shingles live as 64-bit hashes end to end: the gram string is
+    # never output, so it is never BUILT — hashes combine from
+    # per-word hashes with zero per-gram allocation (the string form's
+    # gram garbage is what capped multi-core scaling of the substring
+    # op at 0.26; see duplicated_spans). The self-join also shuffles
+    # every (id, shingle) row twice, and a 3-word gram string is
+    # 20-40 bytes vs 8 for the hash. An xxhash64 collision
+    # (P ≈ pairs/2^64) would count one phantom shared shingle for one
+    # doc pair — far below the jaccard threshold's resolution; the
+    # minhash route is the explicitly-approximate one, this stays the
+    # "exact" route to within hash-collision odds.
+    sh_j = _shingle_hash_rows(df, id_col, text_col, n, max_df)
     if max_df is None:
         # per-doc shingle count is computable NARROWLY from the row
         # (|distinct shingle array|) — no explode, no shuffle; same
@@ -111,20 +145,10 @@ def ngram_jaccard_pairs(
         # count needs the exploded + filtered rows, so fall through.
         sizes = df.select(
             F.col(id_col).alias("_id"),
-            F.size(shingles(F.col(text_col), n)).alias("n_sh"),
+            F.size(shingle_hashes(F.col(text_col), n)).alias("n_sh"),
         )
     else:
-        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Join on the 64-bit hash of the shingle, not the string: the
-    # self-join shuffles every (id, shingle) row twice, and a 3-word
-    # shingle string is 20-40 bytes vs 8 for the hash — a 3-4× shuffle-
-    # byte cut that grows with corpus size (measured ~12% wall even at
-    # sf0.1, where the explode dominates). An xxhash64 collision
-    # (P ≈ pairs/2^64) would count one phantom shared shingle for one
-    # doc pair — far below the jaccard threshold's resolution; the
-    # minhash route is the explicitly-approximate one, this stays the
-    # "exact" route to within hash-collision odds.
-    sh_j = sh.select("_id", F.xxhash64("shingle").alias("shingle"))
+        sizes = sh_j.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_j.alias("a")
     b = sh_j.alias("b")
     inter = (

@@ -86,6 +86,42 @@ class TestTextFunctions:
         assert "spark table scan" in row.sh
         assert len(row.sh) == len(set(row.sh))
 
+    def test_shingle_hashes_mirror_string_shingles(self, spark):
+        """The allocation-free hashed shingles must be a faithful
+        image of the string shingles: same count per doc (distinct
+        grams ↔ distinct hashes), equal grams ↔ equal hashes ACROSS
+        docs (the join contract), and the same short-doc empty-array
+        guard."""
+        from gliner_spark.functions.text import shingle_hashes
+
+        rows = [
+            (1, "w1 w2 w3 w4 w1 w2 w3"),   # repeated gram inside doc
+            (2, "x w1 w2 w3 y"),            # shares 'w1 w2 w3' with 1
+            (3, "only two"),                # shorter than n → empty
+            (4, None),                      # null text
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.sh, r.hh)
+            for r in df.select(
+                "doc_id",
+                shingles(F.col("text")).alias("sh"),
+                shingle_hashes(F.col("text")).alias("hh"),
+            ).collect()
+        }
+        # same cardinality everywhere; short and null docs both hit
+        # the when-guard and come back as EMPTY arrays in both forms
+        for d in (1, 2, 3, 4):
+            assert len(got[d][0]) == len(got[d][1])
+        assert got[3][0] == [] and got[3][1] == []
+        assert got[4][0] == [] and got[4][1] == []
+        # equal grams map to equal hashes across docs, unequal to unequal
+        gram_to_hash = {}
+        for d in (1, 2):
+            for g, h in zip(*got[d]):
+                assert gram_to_hash.setdefault(g, h) == h
+        assert len(set(gram_to_hash.values())) == len(gram_to_hash)
+
     def test_fingerprint_deterministic_and_sensitive(self, tdf):
         fps = {
             r.doc_id: r.fp
