@@ -185,10 +185,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by exact Jaccard.
 
-    shingle → ``num_hashes`` salted-md5 min-hashes (lexicographic min of
-    hex strings — a valid min-wise permutation family) → ``bands`` band
-    signatures → equi-join on (band_idx, band_sig) → exact-Jaccard
-    verification of the candidates only.
+    shingle → ``num_hashes`` salted-md5 min-hashes (min over the
+    16-byte md5 BINARIES; unsigned byte order equals the hex-string
+    lexicographic order, so this is the same min-wise permutation
+    family the DuckDB oracle mirrors with hex-string mins — identical
+    argmins, identical candidates, at half the aggregate width) →
+    ``bands`` band signatures (the band's min-vector as a STRUCT key,
+    not another md5 — signature equality IS min-vector equality, so
+    hashing it buys nothing and costs an allocation per band) →
+    equi-join on (band_idx, band_sig) → exact-Jaccard verification of
+    the candidates only, over HASHED shingles (the gram text is never
+    read there; see ``shingle_hashes``).
 
     At scale this is the route that avoids ngram_jaccard_pairs'
     shared-shingle join entirely: candidate generation touches only
@@ -202,7 +209,9 @@ def minhash_lsh_pairs(
     # num_hashes min-aggregations in ONE shuffle: per-shingle salted
     # hashes as columns, then groupBy(_id).min each.
     hash_cols = [
-        F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+        F.unhex(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(
+            f"h{j}"
+        )
         for j in range(num_hashes)
     ]
     sig = sh.select("_id", *hash_cols).groupBy("_id").agg(
@@ -213,13 +222,15 @@ def minhash_lsh_pairs(
     band_structs = []
     for bidx in range(bands):
         parts = [
-            F.col(f"m{j}")
-            for j in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+            F.col(f"m{j}").alias(f"p{i}")
+            for i, j in enumerate(
+                range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+            )
         ]
         band_structs.append(
             F.struct(
                 F.lit(bidx).alias("band_idx"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_sig"),
+                F.struct(*parts).alias("band_sig"),
             )
         )
     bands_df = sig.select(
@@ -234,19 +245,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verify on candidates only (semi-join-sized work).
+    # Exact verify on candidates only (semi-join-sized work), over
+    # HASHED shingles — the verify never reads gram text, so it never
+    # builds it (same contract as ngram_jaccard_pairs).
+    sh_v = _shingle_hash_rows(df, id_col, text_col, n, max_df)
     if max_df is None:
         # narrow per-row count — no explode/shuffle (see ngram_jaccard)
         sizes = df.select(
             F.col(id_col).alias("_id"),
-            F.size(shingles(F.col(text_col), n)).alias("n_sh"),
+            F.size(shingle_hashes(F.col(text_col), n)).alias("n_sh"),
         )
     else:
-        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sizes = sh_v.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pair_sh = (
-        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa._id"))
+        cand.join(sh_v.alias("sa"), F.col("id_a") == F.col("sa._id"))
         .join(
-            sh.alias("sb"),
+            sh_v.alias("sb"),
             (F.col("id_b") == F.col("sb._id"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
