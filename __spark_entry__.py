@@ -914,9 +914,11 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup, span form (Lee et al. 2022): maximal
     word ranges repeated verbatim ANYWHERE in the corpus at ANY
     alignment — the misaligned boilerplate the disjoint-segment pass
-    structurally misses. Overlapping k-word windows hash to md5,
-    non-first occurrences merge into maximal spans. Exact SQL
-    oracle."""
+    structurally misses. Overlapping k-word windows key on a 128-bit
+    xxhash64 chain (allocation-free; the oracle keys on md5 of the
+    gram string — both are hash-as-identity over the same windows, so
+    the flagged position set is identical), non-first occurrences
+    merge into maximal spans. Exact SQL oracle."""
     return duplicated_spans(_docs(spark, sf_dir), k=SUBSTRING_K)
 
 
