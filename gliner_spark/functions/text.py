@@ -16,8 +16,12 @@ Design rules (enforced throughout):
   nondeterministic under distributed execution); every float here is a
   per-row int/int division, which is a single exact IEEE-754 op and
   reproducible across engines;
-* hashes are ``md5`` hex strings — identical output in Spark, DuckDB,
-  and Python's hashlib, which keeps every operator oracle-checkable.
+* hashes a DuckDB oracle must reproduce VALUE-for-value are ``md5``
+  (identical output in Spark, DuckDB, and Python's hashlib); hashes
+  used only as EQUALITY keys (``shingle_hashes``) are composed
+  ``xxhash64`` longs — the oracle checks operator OUTPUT, which does
+  not depend on the key family, and the hashed form allocates nothing
+  per gram (see BENCH.md's allocation-wall section).
 """
 
 from __future__ import annotations

@@ -6,9 +6,16 @@ Five routes, cheapest-first — the standard large-corpus dedup ladder:
   (shingle→minhash→band→bucket join) → n-gram Jaccard (verify) →
   embedding cosine (semantic near-dup)
 
-All are pure DataFrame compositions (no UDFs): hashing is ``md5``,
-set-similarity math is int/int division, and every pair-generating join
-is an equi-join on a blocking key so Catalyst/AQE handle skew. The
+All are pure DataFrame compositions (no UDFs): set-similarity math is
+int/int division, and every pair-generating join is an equi-join on a
+blocking key so Catalyst/AQE handle skew. Hashing is two-tier: ``md5``
+where a DuckDB oracle must reproduce the hash VALUES engine-side
+(exact dedup's content hash, minhash's salted permutation family,
+simhash's bit votes), and allocation-free ``xxhash64`` composition
+where only hash EQUALITY matters (jaccard/verify shingles, substring
+window keys — the oracle checks the OUTPUT, which is hash-family-
+independent; building md5-of-gram strings per position is the
+memory-bandwidth wall documented in BENCH.md). The
 reference repo has no dedup (single-process NER library); these are the
 net-new training-data-pipeline components the 100 TB target requires.
 
@@ -54,13 +61,25 @@ def exact_duplicates(
 
 
 def _shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+    shingle_fn=shingles,
 ) -> DataFrame:
     """(id, shingle) rows, distinct per doc, optionally dropping
-    shingles with document frequency > max_df (stop-shingles)."""
+    shingles with document frequency > max_df (stop-shingles).
+
+    ``shingle_fn`` picks the gram representation: :func:`shingles`
+    (strings — needed when the gram text is read downstream, or when
+    an oracle pins an md5-of-gram family) or :func:`shingle_hashes`
+    (64-bit hashes, allocation-free — for callers that only join or
+    count; the cap then counts hashes, equal counts modulo the same
+    collision odds the hashed join already accepts)."""
     rows = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(shingle_fn(F.col(text_col), n)).alias("shingle"),
     )
     if max_df is not None:
         # Stop-shingle guard WITHOUT creating the hot key it guards
@@ -83,24 +102,10 @@ def _shingle_rows(
 def _shingle_hash_rows(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
 ) -> DataFrame:
-    """(id, shingle) rows with the shingle as its 64-bit hash — the
-    allocation-free sibling of :func:`_shingle_rows` for callers that
-    never read the gram text (see ``functions.text.shingle_hashes``).
-    Same stop-shingle cap, counted on the hash (equal counts modulo
-    the same collision odds the hashed join already accepts)."""
-    rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingle_hashes(F.col(text_col), n)).alias("shingle"),
+    """:func:`_shingle_rows` with the hashed gram representation."""
+    return _shingle_rows(
+        df, id_col, text_col, n, max_df, shingle_fn=shingle_hashes
     )
-    if max_df is not None:
-        stop = (
-            rows.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > F.lit(max_df))
-            .select("shingle")
-        )
-        rows = rows.join(F.broadcast(stop), "shingle", "left_anti")
-    return rows
 
 
 def ngram_jaccard_pairs(
@@ -685,9 +690,9 @@ def resolve_duplicate_clusters(
     longest/highest-quality copy — the standard web-pipeline choice),
     ties broken by the smallest id. ``prefer_col`` must be numeric
     (its negation is the min-struct sort key); NULL prefer values LOSE
-    (sort last, SQL ``DESC NULLS LAST``) — without the sentinel a
-    null field would sort FIRST in Spark's struct ordering and a
-    null-prefer doc would beat every real copy.
+    (sort last, SQL ``DESC NULLS LAST``, via an explicit null-rank
+    field) — without it a null field would sort FIRST in Spark's
+    struct ordering and a null-prefer doc would beat every real copy.
 
     Output: one row per input doc — (id, cluster_id, cluster_size,
     is_survivor). Filtering ``is_survivor`` yields the deduplicated
@@ -712,12 +717,18 @@ def resolve_duplicate_clusters(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
     )
+    # sort key (null_rank, -prefer, id): null_rank puts NULL prefer
+    # values LAST without casting prefer to another type (a double
+    # cast would silently collapse int64 preferences above 2^53);
+    # within the null group np is NULL on every row, so the id field
+    # alone breaks the tie — same as the oracle's NULLS LAST, id ASC.
     best = a.groupBy("cluster_id").agg(
         F.min(
             F.struct(
-                F.coalesce(
-                    (-F.col(prefer_col)).cast("double"), F.lit(float("inf"))
-                ).alias("np"),
+                F.when(F.col(prefer_col).isNull(), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("nr"),
+                (-F.col(prefer_col)).alias("np"),
                 F.col(id_col).alias("i"),
             )
         ).alias("bk"),

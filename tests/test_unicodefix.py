@@ -71,9 +71,12 @@ class TestNfcNormalize:
         )
         assert row.changed and not row.len_differs
 
-    def test_repeated_calls_share_one_udf(self):
+    def test_repeated_calls_share_one_udf(self, spark):
         """nfc_normalize memoizes its pandas UDF so multiple call sites
-        in one plan are expression-equal (one Arrow pass, not N)."""
+        in one plan are expression-equal (one Arrow pass, not N).
+        (Takes the spark fixture: pandas_udf eagerly parses its DDL
+        return type through the active SparkContext, so without it the
+        test would be suite-order-dependent.)"""
         from gliner_spark.functions.unicodefix import nfc_normalize_udf
 
         assert nfc_normalize_udf() is nfc_normalize_udf()
