@@ -254,19 +254,29 @@ def simhash_column(text: Column, bits: int = 32, ngram: int = 1) -> Column:
     # sums — 32 independent evaluations per row; here `hashes` is the
     # single aggregate argument and the lambdas only touch lambda
     # variables (30% measured at sf0.1, more on longer documents).
-    hashes = F.transform(words, F.md5)
+    # one string op per feature: parse the md5's leading hex chars to
+    # an integer once, then every bit is an integer shift (bit b of
+    # the parsed value IS the old hex-digit lookup's bit — see
+    # simhash_table for the position algebra); the bit loop unrolls
+    # statically so shiftright gets a literal shift
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, ndigits), 16, 10).cast(
+            "long"
+        ),
+    )
 
-    def bit_votes(h: Column) -> Column:
-        # vote vector of one feature hash: ±1 per bit, bit b read from
-        # hex digit ndigits - b//4 (same layout as the packed output)
-        def one(b: Column) -> Column:
-            digit = _hex_digit(
-                F.substring(h, (F.lit(ndigits) - (b / 4).cast("int")), 1)
-            )
-            shift = F.pow(F.lit(2.0), (b % 4).cast("double"))
-            return (F.floor(digit / shift).cast("long") % 2) * 2 - 1
-
-        return F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), one)
+    def bit_votes(v: Column) -> Column:
+        # vote vector of one feature hash: ±1 per bit
+        return F.array(
+            *[
+                (
+                    F.shiftright(v, b).bitwiseAND(F.lit(1)).cast("long") * 2
+                    - 1
+                )
+                for b in range(bits)
+            ]
+        )
 
     votes = F.aggregate(
         hashes,

@@ -314,6 +314,13 @@ def simhash_table(
         # same guard as functions.text.simhash_column: non-multiples of
         # 4 make digit_pos reach 0 for the top bits and corrupt votes
         raise ValueError("bits must be a multiple of 4 (one md5 hex digit per 4 bits)")
+    ndigits = bits // 4
+    # ONE string op per feature: the md5's leading ndigits hex chars
+    # parse to an integer whose bit b is exactly the old
+    # digit-position/instr lookup's bit (digit at 1-based position p
+    # holds bits 4·(ndigits−p)..+3, so hex[ndigits−b//4] bit b%4 IS
+    # bit b of the parsed value) — identical votes, identical oracle,
+    # at integer-shift cost instead of 32 substring+instr per feature.
     feats = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -321,15 +328,13 @@ def simhash_table(
             if ngram == 1
             else shingles(F.col(text_col), ngram)
         ).alias("feat"),
-    ).withColumn("h", F.md5("feat"))
-    ndigits = bits // 4
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("feat"), 1, ndigits), 16, 10).cast("long"),
+    )
     votes = []
     for b in range(bits):
-        digit_pos = ndigits - (b // 4)
-        d = F.instr(
-            F.lit("0123456789abcdef"), F.substring(F.col("h"), digit_pos, 1)
-        ) - F.lit(1)
-        bit = F.floor(d / F.lit(2 ** (b % 4))).cast("long") % 2
+        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long")
         votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
     agg = feats.groupBy("_id").agg(*votes)
     sh = None
