@@ -421,10 +421,12 @@ def segment_dedup(
     (identical order to the packed-int64 key the SQL oracle uses) and
     string ids like ``url`` (lexicographic; a cast-to-long key would
     fail under ANSI mode or silently null out and drop every
-    segment). A boilerplate segment's occurrences do meet in the
-    groupBy/join on ``seg``, but the aggregate is a partial min (no
-    row colocation before combine) and the join's build side is one
-    row per distinct segment, so AQE's skew split handles hot keys.
+    segment). Skew: a boilerplate segment's occurrences colocate once
+    in the shared seg-keyed exchange — exactly the rows the join's
+    probe side always had to colocate (AQE skew split applies there);
+    the min aggregate over that partition is a single hash entry and a
+    linear scan, and the join's build side stays one row per distinct
+    segment.
     """
     # stage the split as a projection first: each expression embedding
     # the token array would otherwise hold (and evaluate, per row) its
@@ -440,9 +442,13 @@ def segment_dedup(
         F.col(id_col).alias("_id"),
         F.split(F.col(text_col), " ").alias("_ws"),
     ).select("_id", seg_expr.alias("_segs"))
+    # one explicit shuffle on seg feeds both the firsts aggregate and
+    # the join probe via AQE stage reuse — otherwise each consumer
+    # re-derives its own exchange and the segment build runs twice
+    # (same pattern and rationale as duplicated_spans)
     segs = base.select(
         "_id", F.posexplode(F.col("_segs")).alias("pos", "seg")
-    )
+    ).repartition(F.col("seg"))
     firsts = segs.groupBy("seg").agg(
         F.min(F.struct("_id", "pos")).alias("fk")
     )
