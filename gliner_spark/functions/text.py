@@ -220,12 +220,6 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _hex_digit(ch: Column) -> Column:
-    """hex char → 0..15 via position lookup (portable: same construct
-    exists in every SQL dialect, unlike conv())."""
-    return F.instr(F.lit("0123456789abcdef"), ch) - F.lit(1)
-
-
 def simhash_column(text: Column, bits: int = 32, ngram: int = 1) -> Column:
     """Per-document SimHash, computed entirely with array expressions
     (no shuffle, no UDF): for each bit, sum ±1 votes of md5(feature)
@@ -240,8 +234,9 @@ def simhash_column(text: Column, bits: int = 32, ngram: int = 1) -> Column:
     if bits > 62:
         raise ValueError("bits must be <= 62 to fit a signed 64-bit simhash")
     if bits % 4 != 0:
-        # digit_pos = bits//4 - b//4 would hit substring position 0 for
-        # the top bits (empty string → -1 hex digit → corrupted votes)
+        # ndigits = bits//4 hex chars feed the parsed value; a
+        # non-multiple of 4 would parse only 4·(bits//4) < bits bits,
+        # leaving the top bits permanently 0 — degenerate bands
         raise ValueError("bits must be a multiple of 4 (one md5 hex digit per 4 bits)")
     words = (
         F.array_distinct(word_tokens(text)) if ngram == 1 else shingles(text, ngram)

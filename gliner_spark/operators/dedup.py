@@ -311,8 +311,9 @@ def simhash_table(
     if bits > 62:
         raise ValueError("bits must be <= 62 to fit a signed 64-bit simhash")
     if bits % 4 != 0:
-        # same guard as functions.text.simhash_column: non-multiples of
-        # 4 make digit_pos reach 0 for the top bits and corrupt votes
+        # same guard as functions.text.simhash_column: ndigits hex
+        # chars parse exactly 4·(bits//4) bits, so a non-multiple of 4
+        # would leave the top bits permanently 0 — degenerate bands
         raise ValueError("bits must be a multiple of 4 (one md5 hex digit per 4 bits)")
     ndigits = bits // 4
     # ONE string op per feature: the md5's leading ndigits hex chars
@@ -399,6 +400,7 @@ def segment_dedup(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shared_exchange: bool = True,
 ) -> DataFrame:
     """Sub-document dedup: drop repeated k-word segments, keep first
     occurrence (the C4-style "remove duplicated spans" pass — exact
@@ -421,12 +423,18 @@ def segment_dedup(
     (identical order to the packed-int64 key the SQL oracle uses) and
     string ids like ``url`` (lexicographic; a cast-to-long key would
     fail under ANSI mode or silently null out and drop every
-    segment). Skew: a boilerplate segment's occurrences colocate once
-    in the shared seg-keyed exchange — exactly the rows the join's
-    probe side always had to colocate (AQE skew split applies there);
-    the min aggregate over that partition is a single hash entry and a
-    linear scan, and the join's build side stays one row per distinct
-    segment.
+    segment).
+
+    ``shared_exchange`` (default True): one explicit seg-keyed shuffle
+    feeds both the first-key aggregate and the join probe via AQE
+    stage reuse, so the segment build runs once. THE TRADE (same as
+    ``duplicated_spans``): skew-join splitting only matches
+    ENSURE_REQUIREMENTS exchanges, so the REPARTITION_BY_COL partition
+    holding a pathological hot segment cannot be split — one straggler
+    task sorts all its occurrences (spilling, not OOMing: the min
+    aggregate over it is a single hash entry and a linear scan). Pass
+    False for corpora with single-segment duplication counts in the
+    10^7+ range.
     """
     # stage the split as a projection first: each expression embedding
     # the token array would otherwise hold (and evaluate, per row) its
@@ -442,13 +450,13 @@ def segment_dedup(
         F.col(id_col).alias("_id"),
         F.split(F.col(text_col), " ").alias("_ws"),
     ).select("_id", seg_expr.alias("_segs"))
-    # one explicit shuffle on seg feeds both the firsts aggregate and
-    # the join probe via AQE stage reuse — otherwise each consumer
-    # re-derives its own exchange and the segment build runs twice
-    # (same pattern and rationale as duplicated_spans)
+    # shared_exchange trade-off documented in the docstring (same
+    # pattern and rationale as duplicated_spans)
     segs = base.select(
         "_id", F.posexplode(F.col("_segs")).alias("pos", "seg")
-    ).repartition(F.col("seg"))
+    )
+    if shared_exchange:
+        segs = segs.repartition(F.col("seg"))
     firsts = segs.groupBy("seg").agg(
         F.min(F.struct("_id", "pos")).alias("fk")
     )
@@ -488,6 +496,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 12,
+    shared_exchange: bool = True,
 ) -> DataFrame:
     """Exact substring dedup, span detection (the Lee et al. 2022
     "Deduplicating Training Data" pass): find maximal word ranges that
@@ -520,10 +529,9 @@ def duplicated_spans(
     3× faster absolute (the shuffle also shrinks: 16-byte struct key
     vs 32-char hex). Flow: map-side-combined groupBy(h) keeps only
     hashes with count>1 (the duplicate fraction — tiny next to the
-    corpus) → equi-join back tags non-first occurrences (AQE
-    broadcasts the dup-hash side when it fits; the join stays
-    skew-safe when boilerplate makes it large) → one groupBy(id) + a
-    LINEAR index scan does the interval merge: window ends p+k are
+    corpus) → equi-join back tags non-first occurrences → one
+    groupBy(id) + a LINEAR index scan does the interval merge: window
+    ends p+k are
     monotone in sorted p, so position i opens a new span iff
     ``ps[i] > ps[i-1] + k`` — break indices via one
     filter-over-sequence pass, span bounds via one transform over the
@@ -532,6 +540,19 @@ def duplicated_spans(
     boilerplate-riddled 100k-word page into a single-task straggler.)
     Same min(struct(id,pos)) first-key trick as segment_dedup, so
     string AND numeric ids both work. No Window over the corpus.
+
+    ``shared_exchange`` (default True): one explicit h-keyed shuffle
+    feeds both the firsts aggregate and the join probe via AQE stage
+    reuse — without it each consumer re-derives its own exchange above
+    a differently-shaped subtree and the whole window build runs TWICE
+    (measured 7.5 → 4.6 s on a ×64 input). THE TRADE: Spark's
+    skew-join splitter only matches ENSURE_REQUIREMENTS exchanges, so
+    the explicit REPARTITION_BY_COL partition holding a pathological
+    hot window (one identical k-gram in ~10^7+ docs) cannot be split —
+    that one task sorts all its occurrences (it spills rather than
+    OOMs, but it is a straggler). Pass ``shared_exchange=False`` for
+    corpora with single-window duplication counts that large; the
+    default trades that edge for computing the window build once.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -563,17 +584,12 @@ def duplicated_spans(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<struct<h1:long,h2:long>>)"))
-    # ONE explicit shuffle on h feeds BOTH consumers (the firsts
-    # aggregate and the join's probe side): without it each consumer
-    # re-derives its own exchange above a differently-shaped subtree
-    # (partial-agg vs bare rows), nothing canonicalizes equal, and the
-    # whole window build runs TWICE. With it, AQE stage reuse computes
-    # the explode once — measured 7.5 → 4.6 s on the ×64 input. The
-    # lost pre-shuffle combine is free to give up: window keys are
-    # near-unique, map-side combine never reduced them.
-    sh = hashed.select("_id", F.posexplode(win).alias("pos", "h")).repartition(
-        F.col("h")
-    )
+    # shared_exchange trade-off documented in the docstring; the lost
+    # pre-shuffle combine is free to give up either way: window keys
+    # are near-unique, map-side combine never reduced them
+    sh = hashed.select("_id", F.posexplode(win).alias("pos", "h"))
+    if shared_exchange:
+        sh = sh.repartition(F.col("h"))
     firsts = (
         sh.groupBy("h")
         .agg(
@@ -641,6 +657,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 12,
+    shared_exchange: bool = True,
 ) -> DataFrame:
     """Exact substring dedup, removal form: splice the
     ``duplicated_spans`` ranges out of each doc.
@@ -658,7 +675,13 @@ def substring_dedup(
     """
     empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
     sp = (
-        duplicated_spans(df, id_col=id_col, text_col=text_col, k=k)
+        duplicated_spans(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            shared_exchange=shared_exchange,
+        )
         .groupBy(id_col)
         .agg(
             F.collect_list(
@@ -738,18 +761,30 @@ def resolve_duplicate_clusters(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
     )
-    # sort key (null_rank, -prefer, id): null_rank puts NULL prefer
-    # values LAST without casting prefer to another type (a double
-    # cast would silently collapse int64 preferences above 2^53);
-    # within the null group np is NULL on every row, so the id field
-    # alone breaks the tie — same as the oracle's NULLS LAST, id ASC.
+    # sort key (null_rank, descending-prefer, id): null_rank puts NULL
+    # prefer values LAST without casting prefer to another type (a
+    # double cast would silently collapse int64 preferences above
+    # 2^53); within the null group np is NULL on every row, so the id
+    # field alone breaks the tie — same as the oracle's NULLS LAST,
+    # id ASC. For integral prefer types the descending key is
+    # bitwise-NOT (~x = -x-1: an order-REVERSING bijection with no
+    # overflow — plain negation of the type's MIN value raises under
+    # ANSI and silently wraps to itself otherwise, crowning the
+    # SMALLEST preference); fractional types have no NOT, and their
+    # negation is exact and total.
+    prefer_type = dict(docs.dtypes).get(prefer_col, "")
+    desc_prefer = (
+        F.bitwise_not(F.col(prefer_col))
+        if prefer_type in ("tinyint", "smallint", "int", "bigint")
+        else -F.col(prefer_col)
+    )
     best = a.groupBy("cluster_id").agg(
         F.min(
             F.struct(
                 F.when(F.col(prefer_col).isNull(), F.lit(1))
                 .otherwise(F.lit(0))
                 .alias("nr"),
-                (-F.col(prefer_col)).alias("np"),
+                desc_prefer.alias("np"),
                 F.col(id_col).alias("i"),
             )
         ).alias("bk"),

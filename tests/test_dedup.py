@@ -503,6 +503,34 @@ class TestResolveDuplicateClusters:
         assert out == {1: False, 2: True, 3: True, 4: False}
         # {3,4}: both null → tie falls through to min id (3)
 
+    def test_extreme_integer_preferences(self, spark):
+        """The descending key for integral prefer types is bitwise-NOT
+        (order-reversing, no overflow): Long.MIN/MAX preferences must
+        rank correctly — plain negation of MIN raises under ANSI (and
+        silently crowns the smallest preference without it), and a
+        double-cast key would collapse values above 2^53."""
+        from gliner_spark.operators.canonicalize import connected_components
+        from gliner_spark.operators.dedup import resolve_duplicate_clusters
+
+        lo, hi = -(2**63), 2**63 - 1
+        docs = spark.createDataFrame(
+            [(1, lo), (2, hi), (3, hi - 1), (4, 2**53 + 1), (5, 2**53)],
+            "doc_id long, n_chars long",
+        )
+        comps = connected_components(
+            spark.createDataFrame(
+                [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+            )
+        )
+        out = {
+            r.doc_id: r.is_survivor
+            for r in resolve_duplicate_clusters(docs, comps).collect()
+        }
+        # {1,2,3}: MAX wins, MIN loses; {4,5}: 2^53+1 > 2^53 must hold
+        # exactly (a double key would tie them and fall to min id = 4,
+        # which happens to match — so also check the MIN/MAX cluster)
+        assert out == {1: False, 2: True, 3: False, 4: True, 5: False}
+
     def test_exactly_one_survivor_per_cluster(self, spark):
         from gliner_spark.operators.canonicalize import connected_components
         from gliner_spark.operators.dedup import resolve_duplicate_clusters
