@@ -20,6 +20,7 @@ from .text import (  # noqa: F401
     lang_scores,
     lang_id_column,
     shingles,
+    shingle_hashes,
     simhash_column,
     fingerprint_agg,
 )
