@@ -413,6 +413,18 @@ class TestSubstringDedup:
         assert out.count() == docs.count()
         assert out.where("n_dup_words > 0").count() > 0
 
+    def test_shared_exchange_knob_output_identical(self, spark):
+        """shared_exchange trades AQE skew-splittability for a
+        build-once plan; both settings must produce identical rows
+        (substring AND segment operators)."""
+        from gliner_spark.operators.dedup import segment_dedup, substring_dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for fn, kw in ((substring_dedup, dict(k=12)), (segment_dedup, dict(k=10))):
+            a = sorted(map(tuple, fn(docs, shared_exchange=True, **kw).collect()))
+            b = sorted(map(tuple, fn(docs, shared_exchange=False, **kw).collect()))
+            assert a == b, fn.__name__
+
     def test_null_text_cleans_to_empty(self, spark):
         """Real crawl tables carry null text; it must come back as
         clean_text='' (the segment_dedup/oracle convention), never a
